@@ -227,10 +227,35 @@ _SPLITTERS = {
     "cl100k": split_cl100k,
 }
 
+BUILTIN_PATTERNS = frozenset(_SPLITTERS)
+
+
+def compile_splitter(pattern: str):
+    """Splitter callable for a pattern spec.
+
+    Built-in families ("gpt2", "cl100k") use the hand-rolled scanners above.
+    Any other string is treated as a regex for custom encodings (reference
+    extension point ``M/api/EncodingRegistry.java:58-67``) and compiled with
+    the ``regex`` module; like ``Matcher.find``, unmatched characters are
+    skipped.
+    """
+    if pattern in _SPLITTERS:
+        return _SPLITTERS[pattern]
+    import regex as _regex
+
+    rx = _regex.compile(pattern)
+
+    def _custom_split(text: str) -> Iterator[Tuple[int, int]]:
+        for m in rx.finditer(text):
+            if m.end() > m.start():
+                yield (m.start(), m.end())
+
+    return _custom_split
+
 
 def split(text: str, pattern: str) -> List[Tuple[int, int]]:
-    """Piece spans for ``pattern`` in {"gpt2", "cl100k"}."""
-    return list(_SPLITTERS[pattern](text))
+    """Piece spans for ``pattern`` (built-in family or custom regex)."""
+    return list(compile_splitter(pattern)(text))
 
 
 def split_pieces(text: str, pattern: str) -> List[str]:
