@@ -44,6 +44,7 @@ NUMBER = 2
 WS = 3
 CRLF = 4
 SPACE = 5
+PAD = 6  # device-only: padding bytes past the valid length
 
 NUM_CLASSES = 6
 

@@ -53,9 +53,12 @@ def _match_contraction(text: str, i: int, n: int, ignore_case: bool) -> int:
             continue
         got = text[i + 1 : end]
         if ignore_case:
-            # (?i:...) in the cl100k pattern: simple ASCII case fold is exact
-            # here because the suffixes are pure ASCII letters.
-            got = got.lower()
+            # (?i:...) under Java's UNICODE_CASE (implied by
+            # UNICODE_CHARACTER_CLASS). Java folds each char via
+            # toLowerCase(toUpperCase(c)); for the suffix letters
+            # {s,t,r,e,v,m,l,d} the only non-ASCII equivalence is
+            # U+017F LONG S ≡ 's', which str.casefold() also maps.
+            got = got.casefold()
         if got == suffix:
             return 1 + len(suffix)
     return 0

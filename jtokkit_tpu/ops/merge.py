@@ -1,0 +1,138 @@
+"""Device byte-pair merge: HOT LOOP 2 as a vectorized fixed-point iteration.
+
+Replaces the reference's per-piece merge loop (reference
+``M/GptBytePairEncoding.java:200-275``) with a formulation that is bit-exact
+by construction: pieces are padded into a [rows, lanes] matrix and the
+*sequential* min-rank merge runs one step per piece per iteration,
+vectorized ACROSS pieces (rows). Each iteration per row:
+
+  1. argmin of pair ranks (leftmost tie-break — same as the reference's
+     strict ``<`` scan, ``:232-240``),
+  2. merge that pair: left span takes the merged token id (the pair-table
+     value; ranks and ids coincide in tiktoken vocabularies), right span
+     deactivates (``parts.remove``, ``:259``),
+  3. recompute the two affected neighbor ranks via cuckoo pair lookups
+     (``:254-257``) — exactly two gathers each, no probe loops.
+
+Rank lookups use the integer pair tables from
+:mod:`jtokkit_tpu.vocab.tables`; the initial seeding (``:216-221``) is a
+single gather into the direct 256×256 byte-pair table because all initial
+spans are single-byte tokens.
+
+The iteration count for a batch is max(merges per piece); rows that finish
+early become no-ops. ``lax.while_loop`` exits when every row's min rank is
+MAX (``:260-262``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_RANK = jnp.int32(0x7FFFFFFF)
+
+_H1 = (0x9E3779B1, 0x85EBCA77, 0x2C1B3C6D)
+_H2 = (0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
+
+
+def _mix(u, v, consts, mask):
+    a, b, c = (jnp.uint32(x) for x in consts)
+    h = (u.astype(jnp.uint32) * a) ^ (v.astype(jnp.uint32) * b)
+    h = h ^ (h >> 15)
+    h = h * c
+    h = h ^ (h >> 13)
+    return (h & jnp.uint32(mask)).astype(jnp.int32)
+
+
+def pair_lookup(u, v, cuckoo_u, cuckoo_v, cuckoo_id, table_mask):
+    """(u, v) -> merged id, or -1. Exactly two gathers (cuckoo tables).
+
+    Mirrors :meth:`jtokkit_tpu.vocab.tables.PackedVocabulary.lookup_pairs`.
+    """
+    s1 = _mix(u, v, _H1, table_mask)
+    s2 = _mix(u, v, _H2, table_mask)
+    hit1 = (cuckoo_u[0][s1] == u) & (cuckoo_v[0][s1] == v)
+    hit2 = (cuckoo_u[1][s2] == u) & (cuckoo_v[1][s2] == v)
+    out = jnp.where(hit1, cuckoo_id[0][s1], -1)
+    return jnp.where(hit2, cuckoo_id[1][s2], out)
+
+
+def merge_rows(byte_mat, lens, byte_to_id, byte_pair_id, cuckoo_u, cuckoo_v,
+               cuckoo_id, table_mask):
+    """Run the full merge on a padded piece matrix.
+
+    Args:
+      byte_mat: uint8[R, L] piece bytes, zero-padded.
+      lens: int32[R] piece byte lengths (<= L).
+      byte_to_id / byte_pair_id / cuckoo_*: packed vocab tables (device).
+      table_mask: python int, cuckoo table mask.
+
+    Returns:
+      ids: int32[R, L] token id per surviving span (junk at inactive lanes)
+      active: bool[R, L] surviving span mask (count = tokens per piece)
+    """
+    R, L = byte_mat.shape
+    lanes = jnp.arange(L, dtype=jnp.int32)[None, :]  # [1, L]
+    b = byte_mat.astype(jnp.int32)
+
+    active = lanes < lens[:, None]
+    ids = jnp.where(active, jnp.take(byte_to_id, b), -1)
+
+    # seed pair ranks: spans are single bytes, one gather into the 64K table
+    b_next = jnp.concatenate([b[:, 1:], jnp.zeros((R, 1), jnp.int32)], axis=1)
+    is_pair = lanes + 1 < lens[:, None]
+    rank = jnp.where(
+        is_pair, jnp.take(byte_pair_id, b * 256 + b_next), -1
+    )
+    rank = jnp.where(rank < 0, MAX_RANK, rank)
+
+    def lookup(u, v):
+        found = pair_lookup(u, v, cuckoo_u, cuckoo_v, cuckoo_id, table_mask)
+        return jnp.where(found < 0, MAX_RANK, found)
+
+    def cond(state):
+        _ids, rank, _active, any_left = state
+        return any_left
+
+    def body(state):
+        ids, rank, active, _ = state
+        m = jnp.argmin(rank, axis=1)  # [R] leftmost min
+        minval = jnp.take_along_axis(rank, m[:, None], axis=1)[:, 0]
+        do = minval < MAX_RANK
+
+        m_col = m[:, None]
+        after_m = active & (lanes > m_col)
+        nxt = jnp.min(jnp.where(after_m, lanes, L), axis=1)  # right span
+        prv = jnp.max(jnp.where(active & (lanes < m_col), lanes, -1), axis=1)
+        after_n = active & (lanes > nxt[:, None])
+        nxt2 = jnp.min(jnp.where(after_n, lanes, L), axis=1)
+
+        # merged token id == the pair rank (tiktoken rank == id)
+        one_m = lanes == m_col
+        one_n = lanes == nxt[:, None]
+        do_col = do[:, None]
+        new_ids = jnp.where(one_m & do_col, minval[:, None], ids)
+        new_active = active & ~(one_n & do_col)
+
+        # recompute the two affected neighbor ranks BEFORE "removal"
+        # (reference :247-259); everything else keeps its rank.
+        id_m = minval  # new id at lane m
+        id_prv = jnp.take_along_axis(ids, jnp.maximum(prv, 0)[:, None], axis=1)[:, 0]
+        id_nxt2 = jnp.take_along_axis(
+            ids, jnp.minimum(nxt2, L - 1)[:, None], axis=1
+        )[:, 0]
+        rank_m = jnp.where(nxt2 < L, lookup(id_m, id_nxt2), MAX_RANK)
+        rank_prv = jnp.where(prv >= 0, lookup(id_prv, id_m), MAX_RANK)
+
+        one_p = lanes == prv[:, None]
+        new_rank = jnp.where(one_m & do_col, rank_m[:, None], rank)
+        new_rank = jnp.where(one_p & do_col, rank_prv[:, None], new_rank)
+        new_rank = jnp.where(one_n & do_col, MAX_RANK, new_rank)
+
+        any_left = jnp.any(jnp.min(new_rank) < MAX_RANK)
+        return new_ids, new_rank, new_active, any_left
+
+    init = (ids, rank, active, jnp.any(jnp.min(rank) < MAX_RANK))
+    ids, rank, active, _ = jax.lax.while_loop(cond, body, init)
+    return ids, active
