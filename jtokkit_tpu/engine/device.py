@@ -24,13 +24,14 @@ batches.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import boundaries, classify, merge
+from ..ops import boundaries, classify, merge, pipeline
 from ..vocab import tables as vtables
 from ..vocab.loader import asset_path
 from .oracle import OracleEngine, byte_pair_merge
@@ -39,6 +40,19 @@ _BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 _MIN_FLAT = 8192
 _MIN_ROWS = 128
 _SEP = 0  # separator byte value (marked invalid; value irrelevant)
+_CHUNK_BYTES = 1 << 22  # max flat-buffer size per device call
+
+
+def enable_compile_cache():
+    """Persist XLA compilations next to the package (compiles through the
+    remote-compile tunnel are expensive; the cache makes them one-time)."""
+    try:
+        cache_dir = os.path.join(os.path.dirname(__file__), "..", "_xla_cache")
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def _next_pow2(n: int, floor: int = 1) -> int:
@@ -62,6 +76,8 @@ class DeviceEngine:
         self._cuckoo_v = jnp.asarray(packed.cuckoo_v)
         self._cuckoo_id = jnp.asarray(packed.cuckoo_id)
 
+        enable_compile_cache()
+
         @functools.partial(jax.jit, static_argnames=())
         def _boundary_fn(data, valid):
             info = classify.classify_bytes(data, self._class_table, valid)
@@ -75,8 +91,17 @@ class DeviceEngine:
                 self.packed.table_mask,
             )
 
+        @jax.jit
+        def _chunk_fn(buf, valid, doc_ends):
+            return pipeline.encode_chunk(
+                buf, valid, doc_ends, self._class_table, self.pattern,
+                self._byte_to_id, self._byte_pair_id, self._cuckoo_u,
+                self._cuckoo_v, self._cuckoo_id, self.packed.table_mask,
+            )
+
         self._boundary_fn = _boundary_fn
         self._merge_fn = _merge_fn
+        self._chunk_fn = _chunk_fn
 
     @classmethod
     def from_oracle(cls, oracle: OracleEngine) -> "DeviceEngine":
@@ -193,6 +218,83 @@ class DeviceEngine:
         return out, offsets
 
     # ------------------------------------------------------------------
+    # chunk planning (single-jit pipeline path)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _safe_split(data: bytes, limit: int) -> int:
+        """Largest split point ≤ limit that is provably a piece boundary for
+        both patterns: previous byte is an ASCII letter/digit and the byte at
+        the split is CR/LF (a completed alnum run on the left; CR/LF on the
+        right can neither glue backward nor be absorbed by an alnum piece).
+        Returns 0 if no safe point exists."""
+        w = np.frombuffer(data[:limit], dtype=np.uint8)
+        if len(w) < 2:
+            return 0
+        is_crlf = (w[1:] == 0x0A) | (w[1:] == 0x0D)
+        prev = w[:-1]
+        is_alnum = (
+            ((prev >= 0x30) & (prev <= 0x39))
+            | ((prev >= 0x41) & (prev <= 0x5A))
+            | ((prev >= 0x61) & (prev <= 0x7A))
+        )
+        cand = np.flatnonzero(is_crlf & is_alnum)
+        return int(cand[-1]) + 1 if len(cand) else 0
+
+    def _plan_chunks(self, texts: Sequence[Optional[str]]):
+        """Split the batch into device chunks.
+
+        Yields (buf, valid, doc_ends, parts) where parts[i] = original doc
+        index of chunk-document i (one doc may span several chunk-documents
+        across chunks, in order; their tokens concatenate).
+        """
+        pending = []  # (doc_idx, bytes)
+        for i, t in enumerate(texts):
+            data = t.encode("utf-8") if t else b""
+            while len(data) > _CHUNK_BYTES - 1:
+                p = self._safe_split(data, _CHUNK_BYTES - 1)
+                if p == 0:
+                    break  # no safe point: single giant piece-dense doc
+                pending.append((i, data[:p]))
+                data = data[p:]
+            pending.append((i, data))
+
+        chunk: List = []
+        size = 0
+        for item in pending:
+            extra = len(item[1]) + (1 if chunk else 0)
+            if chunk and size + extra > _CHUNK_BYTES:
+                yield self._build_chunk(chunk)
+                chunk, size = [], 0
+            chunk.append(item)
+            size += len(item[1]) + 1
+        if chunk:
+            yield self._build_chunk(chunk)
+
+    @staticmethod
+    def _build_chunk(items):
+        total = sum(len(d) for (_i, d) in items) + len(items) - 1
+        size = _next_pow2(total, _MIN_FLAT)
+        buf = np.zeros(size, dtype=np.uint8)
+        valid = np.zeros(size, dtype=bool)
+        ends = np.zeros(len(items), dtype=np.int32)
+        parts = []
+        pos = 0
+        for k, (i, data) in enumerate(items):
+            if k > 0:
+                pos += 1  # separator (invalid byte)
+            if data:
+                buf[pos : pos + len(data)] = np.frombuffer(data, np.uint8)
+                valid[pos : pos + len(data)] = True
+                pos += len(data)
+            ends[k] = pos
+            parts.append(i)
+        d_size = _next_pow2(len(items), 64)
+        doc_ends = np.full(d_size, pos, dtype=np.int32)
+        doc_ends[: len(items)] = ends
+        return buf, valid, doc_ends, parts
+
+    # ------------------------------------------------------------------
     # public batch API
     # ------------------------------------------------------------------
 
@@ -201,27 +303,79 @@ class DeviceEngine:
     ) -> List[List[int]]:
         if not texts:
             return []
-        buf, valid, bounds, used = self._flatten(texts)
-        starts, lens = self._pieces(buf, valid, bounds, used)
-        flat, offsets = self._encode_flat(buf, starts, lens)
-        # split tokens per document: pieces are in document order
-        doc_ends = np.asarray([e for (_s, e) in bounds], dtype=np.int64)
-        doc_of = np.minimum(
-            np.searchsorted(doc_ends, starts, side="right"), len(doc_ends) - 1
-        )
-        out: List[List[int]] = []
-        for d in range(len(texts)):
-            sel = np.flatnonzero(doc_of == d)
-            if len(sel) == 0:
-                out.append([])
-            else:
-                lo = offsets[sel[0]]
-                hi = offsets[sel[-1] + 1]
-                out.append(flat[lo:hi].tolist())
+        out: List[List[int]] = [[] for _ in texts]
+        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
+            res = self._chunk_fn(
+                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
+            )
+            if int(res.oversize_count) > 0:
+                # pathological >4KB single pieces: host-glue fallback path
+                self._encode_chunk_fallback(buf, valid, doc_ends, parts, out)
+                continue
+            n_tokens = int(res.n_tokens)
+            tokens = np.asarray(res.tokens[:n_tokens] if n_tokens else res.tokens[:0])
+            doc_counts = np.asarray(res.doc_counts)[: len(parts)]
+            splits = np.cumsum(doc_counts)[:-1]
+            for doc_idx, toks in zip(parts, np.split(tokens, splits)):
+                out[doc_idx].extend(toks.tolist())
         return out
 
     def count_tokens_batch(self, texts: Sequence[Optional[str]]) -> List[int]:
-        return [len(t) for t in self.encode_ordinary_batch(texts)]
+        if not texts:
+            return []
+        counts = [0] * len(texts)
+        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
+            res = self._chunk_fn(
+                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
+            )
+            if int(res.oversize_count) > 0:
+                tmp: List[List[int]] = [[] for _ in texts]
+                self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
+                for i, toks in enumerate(tmp):
+                    counts[i] += len(toks)
+                continue
+            doc_counts = np.asarray(res.doc_counts)[: len(parts)]
+            for doc_idx, c in zip(parts, doc_counts):
+                counts[doc_idx] += int(c)
+        return counts
+
+    def count_tokens_corpus(self, texts: Sequence[Optional[str]]) -> int:
+        """Total token count; only scalars leave the device."""
+        total = 0
+        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
+            res = self._chunk_fn(
+                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
+            )
+            if int(res.oversize_count) > 0:
+                tmp: List[List[int]] = [[] for _ in texts]
+                self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
+                total += sum(len(t) for t in tmp)
+                continue
+            total += int(res.n_tokens)
+        return total
+
+    def _encode_chunk_fallback(self, buf, valid, doc_ends, parts, out) -> None:
+        """Host-glue path (boundaries on device, packing on host) for chunks
+        containing pieces larger than the pipeline's biggest bucket."""
+        used = int(doc_ends[len(parts) - 1])
+        bounds = []
+        prev = 0
+        for k in range(len(parts)):
+            end = int(doc_ends[k])
+            start = prev if k == 0 else prev + 1
+            bounds.append((start, end))
+            prev = end
+        starts, lens = self._pieces(buf, valid, bounds, used)
+        flat, offsets = self._encode_flat(buf, starts, lens)
+        ends_arr = np.asarray([e for (_s, e) in bounds], dtype=np.int64)
+        doc_of = np.minimum(
+            np.searchsorted(ends_arr, starts, side="right"), len(ends_arr) - 1
+        )
+        for d, doc_idx in enumerate(parts):
+            sel = np.flatnonzero(doc_of == d)
+            if len(sel):
+                lo, hi = offsets[sel[0]], offsets[sel[-1] + 1]
+                out[doc_idx].extend(flat[lo:hi].tolist())
 
 
 def _maybe_asset_path(name: str):

@@ -7,12 +7,20 @@ Must set XLA flags before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override: the shell may preset "axon"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize imports jax (registering the axon TPU
+# plugin) before this file runs, so the env vars above may be too late —
+# force the settings through the live config as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import ast
 import csv
