@@ -94,5 +94,13 @@ class Encoding(ABC):
     def count_tokens_batch(self, texts: Sequence[Optional[str]]) -> List[int]:
         return [len(t) for t in self.encode_batch(texts)]
 
+    def decode_bytes_batch(
+        self, token_lists: Sequence[Sequence[int]]
+    ) -> List[bytes]:
+        return [self.decode_bytes(t) for t in token_lists]
+
     def decode_batch(self, token_lists: Sequence[Sequence[int]]) -> List[str]:
-        return [self.decode(t) for t in token_lists]
+        return [
+            b.decode("utf-8", errors="replace")
+            for b in self.decode_bytes_batch(token_lists)
+        ]

@@ -30,6 +30,8 @@ class GptBytePairEncoding(Encoding):
             params.special_tokens_encoder,
         )
         self._device_engine = None
+        self._native_engine = None
+        self._native_tried = False
         self._device_lock = threading.Lock()
 
     # -- engines --------------------------------------------------------
@@ -56,16 +58,57 @@ class GptBytePairEncoding(Encoding):
                     self._device_engine = DeviceEngine.from_oracle(self._oracle)
         return self._device_engine
 
+    def native_engine(self):
+        """The C++ host engine (built on first use; None if unavailable).
+
+        Only built-in pre-split families are implemented natively; custom
+        regex patterns stay on the Python oracle.
+        """
+        if not self._native_tried:
+            with self._device_lock:
+                if not self._native_tried:
+                    self._native_tried = True
+                    complete_bytes = all(
+                        bytes([b]) in self._params.encoder for b in range(256)
+                    )
+                    if self._params.pattern in BUILTIN_PATTERNS and complete_bytes:
+                        try:
+                            from .native import NativeEngine
+                            from .vocab.tables import load_packed
+                            from .vocab.loader import asset_path
+
+                            try:
+                                path = asset_path(self._params.name)
+                            except Exception:
+                                path = None
+                            packed = load_packed(
+                                self._params.name, self._params.encoder, path
+                            )
+                            self._native_engine = NativeEngine(
+                                packed, self._params.pattern
+                            )
+                        except Exception:
+                            self._native_engine = None
+        return self._native_engine
+
     # -- Encoding contract ---------------------------------------------
 
     def encode(self, text: Optional[str]) -> List[int]:
-        return self._oracle.encode(text)[0]
+        if text is None:
+            return []
+        self._oracle.check_special(text)
+        return self.encode_ordinary(text)
 
     def encode_capped(self, text: Optional[str], max_tokens: int) -> EncodingResult:
         tokens, truncated = self._oracle.encode(text, max_tokens)
         return EncodingResult(tokens, truncated)
 
     def encode_ordinary(self, text: Optional[str]) -> List[int]:
+        if text is None:
+            return []
+        native = self.native_engine()
+        if native is not None:
+            return native.encode_ordinary(text)
         return self._oracle.encode_ordinary(text)[0]
 
     def encode_ordinary_capped(
@@ -109,3 +152,9 @@ class GptBytePairEncoding(Encoding):
             if t is not None:
                 self._oracle.check_special(t)
         return engine.count_tokens_batch(texts)
+
+    def decode_bytes_batch(self, token_lists) -> List[bytes]:
+        engine = self.device_engine()
+        if engine is None:
+            return [self.decode_bytes(t) for t in token_lists]
+        return engine.decode_bytes_batch(token_lists)

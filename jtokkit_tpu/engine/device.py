@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import boundaries, classify, merge, pipeline
+from ..ops import boundaries, classify, decode as decode_ops, merge, pipeline
 from ..vocab import tables as vtables
 from ..vocab.loader import asset_path
 from .oracle import OracleEngine, byte_pair_merge
@@ -40,7 +40,7 @@ _BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 _MIN_FLAT = 8192
 _MIN_ROWS = 128
 _SEP = 0  # separator byte value (marked invalid; value irrelevant)
-_CHUNK_BYTES = 1 << 22  # max flat-buffer size per device call
+_CHUNK_BYTES = 1 << 21  # max flat-buffer size per device call
 
 
 def enable_compile_cache():
@@ -99,9 +99,20 @@ class DeviceEngine:
                 self._cuckoo_v, self._cuckoo_id, self.packed.table_mask,
             )
 
+        self._token_offsets = jnp.asarray(packed.token_offsets)
+        self._token_bytes = jnp.asarray(packed.token_bytes)
+
+        @functools.partial(jax.jit, static_argnames=("out_capacity",))
+        def _decode_fn(tokens, n_tokens, out_capacity):
+            return decode_ops.decode_tokens(
+                tokens, n_tokens, self._token_offsets, self._token_bytes,
+                out_capacity,
+            )
+
         self._boundary_fn = _boundary_fn
         self._merge_fn = _merge_fn
         self._chunk_fn = _chunk_fn
+        self._decode_fn = _decode_fn
 
     @classmethod
     def from_oracle(cls, oracle: OracleEngine) -> "DeviceEngine":
@@ -353,6 +364,47 @@ class DeviceEngine:
                 continue
             total += int(res.n_tokens)
         return total
+
+    def decode_bytes_batch(self, token_lists) -> List[bytes]:
+        """Device-gathered decode for batches of plain vocab ids.
+
+        Lists containing special-token or out-of-vocab ids fall back to the
+        host oracle per list (preserving its error/special semantics).
+        """
+        out: List[Optional[bytes]] = [None] * len(token_lists)
+        flat: List[int] = []
+        splits: List[Tuple[int, int, int]] = []  # (list_idx, lo, hi)
+        for i, toks in enumerate(token_lists):
+            arr = np.asarray(list(toks), dtype=np.int64)
+            if len(arr) and (
+                arr.min() < 0 or arr.max() >= self.packed.n_tokens
+            ):
+                out[i] = self.oracle.decode_bytes(arr.tolist())
+            else:
+                splits.append((i, len(flat), len(flat) + len(arr)))
+                flat.extend(arr.tolist())
+        if flat:
+            T = _next_pow2(len(flat), 1024)
+            tokens = np.full(T, -1, dtype=np.int32)
+            tokens[: len(flat)] = flat
+            cap = T * 8
+            data, n_bytes = self._decode_fn(
+                jnp.asarray(tokens), len(flat), cap
+            )
+            if int(n_bytes) > cap:  # rare: very long average tokens
+                cap = T * self.packed.max_token_len
+                data, n_bytes = self._decode_fn(
+                    jnp.asarray(tokens), len(flat), cap
+                )
+            data = np.asarray(data[: int(n_bytes)]).tobytes()
+            # per-list byte offsets from token lengths
+            lens = self.packed.token_lengths[np.asarray(flat, dtype=np.int64)]
+            byte_ends = np.cumsum(lens)
+            for i, lo, hi in splits:
+                blo = 0 if lo == 0 else int(byte_ends[lo - 1])
+                bhi = 0 if hi == 0 else int(byte_ends[hi - 1])
+                out[i] = data[blo:bhi]
+        return [b if b is not None else b"" for b in out]
 
     def _encode_chunk_fallback(self, buf, valid, doc_ends, parts, out) -> None:
         """Host-glue path (boundaries on device, packing on host) for chunks

@@ -1,0 +1,168 @@
+"""ctypes binding for the native C++ host engine (native/jtokkit_native.cc).
+
+The native engine implements the same two hot loops as the device pipeline
+(pre-split scanner + exact min-rank merge) as tight scalar code over the SAME
+packed integer tables, giving the host path reference-class single-core
+throughput. It is optional: everything falls back to the pure-Python oracle
+when the shared library is absent or the toolchain is missing.
+
+Build (one-time, cached): ``python -m jtokkit_tpu.native``
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "native", "jtokkit_native.cc")
+_LIB = os.path.join(os.path.dirname(__file__), "_libjtokkit_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared library. Returns True on success."""
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return False
+    if os.path.exists(_LIB) and not force:
+        if os.path.getmtime(_LIB) >= os.path.getmtime(src):
+            return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             "-o", _LIB, src],
+            check=True, capture_output=True, timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB) and not build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+            lib.jt_init.restype = ctypes.c_int
+            lib.jt_encode.restype = ctypes.c_int64
+            lib.jt_split.restype = ctypes.c_int64
+            _lib = lib
+        except OSError:
+            _load_failed = True
+    return _lib
+
+
+class NativeEngine:
+    """Native encoder bound to one encoding's packed tables.
+
+    NOTE: the underlying library holds one global table set; the LAST
+    initialized encoding wins. :class:`NativeEngineCache` re-initializes on
+    encoding switches (cheap: one hash build over the vocab).
+    """
+
+    _current_key = None
+    _cls_table = None  # keep alive
+
+    def __init__(self, packed, pattern: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native engine unavailable")
+        from .engine import charclass
+
+        self._lib = lib
+        self._packed = packed
+        self._pattern_code = 0 if pattern == "gpt2" else 1
+        self._key = (id(packed), pattern)
+        if NativeEngine._cls_table is None:
+            NativeEngine._cls_table = np.ascontiguousarray(
+                charclass.class_table()
+            )
+        self._ensure_tables()
+
+    def _ensure_tables(self):
+        if NativeEngine._current_key == self._key:
+            return
+        p = self._packed
+        self._refs = [
+            np.ascontiguousarray(p.byte_to_id),
+            np.ascontiguousarray(p.byte_pair_id),
+            np.ascontiguousarray(p.cuckoo_u),
+            np.ascontiguousarray(p.cuckoo_v),
+            np.ascontiguousarray(p.cuckoo_id),
+            np.ascontiguousarray(p.token_bytes),
+            np.ascontiguousarray(p.token_offsets),
+        ]
+        b2i, bp, cu, cv, cid, pool, offs = self._refs
+        self._lib.jt_init(
+            NativeEngine._cls_table.ctypes.data_as(ctypes.c_void_p),
+            b2i.ctypes.data_as(ctypes.c_void_p),
+            bp.ctypes.data_as(ctypes.c_void_p),
+            cu.ctypes.data_as(ctypes.c_void_p),
+            cv.ctypes.data_as(ctypes.c_void_p),
+            cid.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(cu.shape[1]),
+            pool.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(p.n_tokens),
+        )
+        NativeEngine._current_key = self._key
+        NativeEngine._live_refs = self._refs  # pin
+
+    def encode_ordinary(self, text: str) -> list:
+        data = text.encode("utf-8")
+        if not data:
+            return []
+        with _lock:
+            self._ensure_tables()
+            buf = np.frombuffer(data, dtype=np.uint8)
+            out = np.empty(len(data), dtype=np.int32)
+            m = self._lib.jt_encode(
+                buf.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(len(data)),
+                ctypes.c_int32(self._pattern_code),
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+        if m < 0:
+            raise RuntimeError("native engine not initialized")
+        return out[:m].tolist()
+
+    def split_ends(self, text: str) -> np.ndarray:
+        """Piece end byte-offsets (for differential testing)."""
+        data = text.encode("utf-8")
+        if not data:
+            return np.zeros(0, dtype=np.int32)
+        with _lock:
+            self._ensure_tables()
+            buf = np.frombuffer(data, dtype=np.uint8)
+            out = np.empty(len(data), dtype=np.int32)
+            m = self._lib.jt_split(
+                buf.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(len(data)),
+                ctypes.c_int32(self._pattern_code),
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+        return out[:m].copy()
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+if __name__ == "__main__":
+    ok = build(force=True)
+    print("native build:", "OK" if ok else "FAILED")

@@ -34,18 +34,14 @@ from . import boundaries, classify, merge
 
 # (lane width, capacity as fraction N // div). Capacity rule: pieces in
 # bucket L have length > previous lane width, so count <= N // (prev+1).
+# Few buckets keep the compiled program small (each bucket unrolls its own
+# merge while-loop); widths trade a little padded VPU work for that.
 BUCKETS = (
-    (4, 1),      # len 1..4    -> up to N pieces
-    (8, 4),      # len 5..8    -> <= N/5
-    (16, 8),     # len 9..16   -> <= N/9
-    (32, 16),    # len 17..32  -> <= N/17
-    (64, 32),
-    (128, 64),
-    (256, 128),
-    (512, 256),
-    (1024, 512),
-    (2048, 1024),
-    (4096, 2048),
+    (8, 1),      # len 1..8    -> up to N pieces
+    (32, 8),     # len 9..32   -> <= N/9
+    (128, 32),   # len 33..128 -> <= N/33
+    (512, 128),  # len 129..512
+    (4096, 512), # len 513..4096
 )
 MAX_PIECE_LEN = BUCKETS[-1][0]
 
