@@ -40,7 +40,24 @@ _BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 _MIN_FLAT = 8192
 _MIN_ROWS = 128
 _SEP = 0  # separator byte value (marked invalid; value irrelevant)
-_CHUNK_BYTES = 1 << 21  # max flat-buffer size per device call
+# Max flat-buffer size per device call; overridable (tests use small chunks
+# to keep compile times down on the CPU backend).
+_CHUNK_BYTES = int(os.environ.get("JTOKKIT_TPU_CHUNK", 1 << 21))
+# Quantized chunk shapes: each distinct (flat size, doc slots) pair costs a
+# compilation (slow through the remote-compile tunnel), so allow only a few.
+_FLAT_SIZES = tuple(
+    s for s in (8192, 131072, 1 << 21) if s < _CHUNK_BYTES
+) + (_CHUNK_BYTES,)
+_DOC_SIZES = (64, 1024, 16384, 262144)
+
+
+def _quantize(n: int, sizes) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    # beyond the largest quantized size (e.g. one giant unsplittable doc):
+    # fall back to an exact power of two, accepting a one-off compilation
+    return _next_pow2(n)
 
 
 def enable_compile_cache():
@@ -91,12 +108,21 @@ class DeviceEngine:
                 self.packed.table_mask,
             )
 
+        self._word_w0 = jnp.asarray(packed.word_w0)
+        self._word_w1 = jnp.asarray(packed.word_w1)
+        word_lenid = np.where(
+            packed.word_len < 0, -1, (packed.word_len << 20) | packed.word_id
+        ).astype(np.int32)
+        self._word_lenid = jnp.asarray(word_lenid)
+
         @jax.jit
         def _chunk_fn(buf, valid, doc_ends):
             return pipeline.encode_chunk(
                 buf, valid, doc_ends, self._class_table, self.pattern,
                 self._byte_to_id, self._byte_pair_id, self._cuckoo_u,
                 self._cuckoo_v, self._cuckoo_id, self.packed.table_mask,
+                self._word_w0, self._word_w1, self._word_lenid,
+                self.packed.word_mask,
             )
 
         self._token_offsets = jnp.asarray(packed.token_offsets)
@@ -285,7 +311,7 @@ class DeviceEngine:
     @staticmethod
     def _build_chunk(items):
         total = sum(len(d) for (_i, d) in items) + len(items) - 1
-        size = _next_pow2(total, _MIN_FLAT)
+        size = _quantize(total, _FLAT_SIZES)
         buf = np.zeros(size, dtype=np.uint8)
         valid = np.zeros(size, dtype=bool)
         ends = np.zeros(len(items), dtype=np.int32)
@@ -300,7 +326,7 @@ class DeviceEngine:
                 pos += len(data)
             ends[k] = pos
             parts.append(i)
-        d_size = _next_pow2(len(items), 64)
+        d_size = _quantize(len(items), _DOC_SIZES)
         doc_ends = np.full(d_size, pos, dtype=np.int32)
         doc_ends[: len(items)] = ends
         return buf, valid, doc_ends, parts
@@ -319,7 +345,7 @@ class DeviceEngine:
             res = self._chunk_fn(
                 jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
             )
-            if int(res.oversize_count) > 0:
+            if int(res.overflow) > 0:
                 # pathological >4KB single pieces: host-glue fallback path
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, out)
                 continue
@@ -339,7 +365,7 @@ class DeviceEngine:
             res = self._chunk_fn(
                 jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
             )
-            if int(res.oversize_count) > 0:
+            if int(res.overflow) > 0:
                 tmp: List[List[int]] = [[] for _ in texts]
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
                 for i, toks in enumerate(tmp):
@@ -357,7 +383,7 @@ class DeviceEngine:
             res = self._chunk_fn(
                 jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
             )
-            if int(res.oversize_count) > 0:
+            if int(res.overflow) > 0:
                 tmp: List[List[int]] = [[] for _ in texts]
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
                 total += sum(len(t) for t in tmp)

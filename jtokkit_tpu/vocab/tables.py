@@ -82,6 +82,14 @@ class PackedVocabulary:
     cuckoo_id: np.ndarray  # int32[2, table_size]
     table_mask: int
     n_pairs: int
+    # word-table: whole-token direct hits for tokens of 1..8 bytes, keyed on
+    # the two little-endian int32 words of the zero-padded bytes plus the
+    # length. Exact (full key compare), two gathers per probe.
+    word_w0: np.ndarray  # int32[2, word_size]
+    word_w1: np.ndarray  # int32[2, word_size]
+    word_len: np.ndarray  # int32[2, word_size]  (-1 empty)
+    word_id: np.ndarray  # int32[2, word_size]
+    word_mask: int
 
     def lookup_pairs(self, u: np.ndarray, v: np.ndarray) -> np.ndarray:
         """Host (numpy) pair lookup, mirroring the device's two gathers.
@@ -160,6 +168,76 @@ def _build_cuckoo(u_arr, v_arr, id_arr):
     raise RuntimeError("cuckoo build failed to converge")
 
 
+_LEN_MIX = np.uint32(0x01000193)
+
+
+def word_key(w0: np.ndarray, w1: np.ndarray, length: np.ndarray):
+    """Hash key halves for the word-table: length folds into the second
+    half so different-length zero-padded strings hash apart; exactness comes
+    from comparing (w0, w1, len) in the slot, not from the hash."""
+    w1x = w1.astype(np.uint32) ^ (length.astype(np.uint32) * _LEN_MIX)
+    return w0.astype(np.uint32), w1x
+
+
+def _build_word_table(ranks: Dict[bytes, int]):
+    """Cuckoo table of whole tokens with 1..8 bytes, exact-match keyed on
+    (padded word0, padded word1, byte length)."""
+    w0s, w1s, lens, ids = [], [], [], []
+    for token, rank in ranks.items():
+        n = len(token)
+        if not (1 <= n <= 8):
+            continue
+        padded = token + b"\x00" * (8 - n)
+        w0s.append(int.from_bytes(padded[:4], "little"))
+        w1s.append(int.from_bytes(padded[4:], "little"))
+        lens.append(n)
+        ids.append(rank)
+    n_entries = len(w0s)
+    w0 = np.asarray(w0s, dtype=np.uint32).astype(np.int32)
+    w1 = np.asarray(w1s, dtype=np.uint32).astype(np.int32)
+    ln = np.asarray(lens, dtype=np.int32)
+    wid = np.asarray(ids, dtype=np.int32)
+
+    size = 1
+    while size < int(n_entries * 1.2) + 2:
+        size *= 2
+    for _attempt in range(8):
+        mask = size - 1
+        sw0 = np.full((2, size), EMPTY, dtype=np.int32)
+        sw1 = np.full((2, size), EMPTY, dtype=np.int32)
+        sln = np.full((2, size), EMPTY, dtype=np.int32)
+        sid = np.full((2, size), EMPTY, dtype=np.int32)
+        hu, hv = word_key(w0, w1, ln)
+        h1 = pair_hash1(hu, hv, mask)
+        h2 = pair_hash2(hu, hv, mask)
+        ok = True
+        for i in range(n_entries):
+            t = 0
+            a, b, c, d = int(w0[i]), int(w1[i]), int(ln[i]), int(wid[i])
+            s = int(h1[i])
+            for _kick in range(500):
+                if sln[t, s] == EMPTY:
+                    sw0[t, s], sw1[t, s], sln[t, s], sid[t, s] = a, b, c, d
+                    break
+                a, sw0[t, s] = int(sw0[t, s]), a
+                b, sw1[t, s] = int(sw1[t, s]), b
+                c, sln[t, s] = int(sln[t, s]), c
+                d, sid[t, s] = int(sid[t, s]), d
+                t = 1 - t
+                ua, va = word_key(
+                    np.asarray([a], np.int32), np.asarray([b], np.int32),
+                    np.asarray([c], np.int32),
+                )
+                s = int((pair_hash1 if t == 0 else pair_hash2)(ua, va, mask)[0])
+            else:
+                ok = False
+                break
+        if ok:
+            return sw0, sw1, sln, sid, mask
+        size *= 2
+    raise RuntimeError("word-table cuckoo build failed to converge")
+
+
 def build_packed(name: str, ranks: Dict[bytes, int]) -> PackedVocabulary:
     n_tokens = max(ranks.values()) + 1
     lengths = np.zeros(n_tokens, dtype=np.int32)
@@ -185,6 +263,7 @@ def build_packed(name: str, ranks: Dict[bytes, int]) -> PackedVocabulary:
 
     u_arr, v_arr, id_arr = _enumerate_pairs(ranks)
     cu, cv, cid, mask = _build_cuckoo(u_arr, v_arr, id_arr)
+    ww0, ww1, wln, wid, wmask = _build_word_table(ranks)
     return PackedVocabulary(
         name=name,
         n_tokens=n_tokens,
@@ -199,6 +278,11 @@ def build_packed(name: str, ranks: Dict[bytes, int]) -> PackedVocabulary:
         cuckoo_id=cid,
         table_mask=mask,
         n_pairs=len(u_arr),
+        word_w0=ww0,
+        word_w1=ww1,
+        word_len=wln,
+        word_id=wid,
+        word_mask=wmask,
     )
 
 
@@ -211,8 +295,12 @@ _ARRAY_FIELDS = (
     "cuckoo_u",
     "cuckoo_v",
     "cuckoo_id",
+    "word_w0",
+    "word_w1",
+    "word_len",
+    "word_id",
 )
-_SCALAR_FIELDS = ("n_tokens", "max_token_len", "table_mask", "n_pairs")
+_SCALAR_FIELDS = ("n_tokens", "max_token_len", "table_mask", "n_pairs", "word_mask")
 
 
 def _cache_dir() -> str:

@@ -8,6 +8,8 @@ Must set XLA flags before JAX initializes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override: the shell may preset "axon"
+# small device chunks: keeps CPU-backend compiles fast in tests
+os.environ.setdefault("JTOKKIT_TPU_CHUNK", str(1 << 17))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
