@@ -78,7 +78,13 @@ def piece_starts(info: dict, pattern: str) -> jnp.ndarray:
     idx = jnp.arange(n, dtype=jnp.int32)
 
     prev_cls = _shift_right(cls, _BOS)  # class of char containing byte i-1
-    char_start_pos = _cummax(jnp.where(start, idx, -1))
+    # position of the char start covering byte i: bounded (UTF-8 chars are at
+    # most 4 bytes), so three shifted selects instead of a prefix scan
+    s1 = _shift_right(start, False)
+    s2 = _shift_right(s1, False)
+    char_start_pos = jnp.where(
+        start, idx, jnp.where(s1, idx - 1, jnp.where(s2, idx - 2, idx - 3))
+    )
 
     is_ws = (cls >= WS) & (cls <= SPACE)
     is_crlf_b = cls == CRLF  # CR/LF are single-byte chars

@@ -109,11 +109,20 @@ def classify_bytes(data: jnp.ndarray, class_table: jnp.ndarray, n_valid=None):
         is_start = is_start & valid
         cls_start = jnp.where(valid, cls_start, PAD)
 
-    # propagate lead-byte class to continuation bytes: segment-fill via
-    # cummax of (position-of-last-start, class) packed into one int32
-    packed = jnp.where(is_start, idx * 8 + cls_start, -1)
-    filled = jax.lax.associative_scan(jnp.maximum, packed)
-    cls = filled % 8
+    # propagate lead-byte class to continuation bytes: a UTF-8 char is at
+    # most 4 bytes, so a bounded select over 3 shifted copies replaces a
+    # full prefix scan (scans are the expensive primitive on TPU)
+    def shift_r(x, k, fill):
+        return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
+
+    s1 = shift_r(is_start, 1, False)
+    s2 = shift_r(is_start, 2, False)
+    c1 = shift_r(cls_start, 1, PAD)
+    c2 = shift_r(cls_start, 2, PAD)
+    c3 = shift_r(cls_start, 3, PAD)
+    cls = jnp.where(
+        is_start, cls_start, jnp.where(s1, c1, jnp.where(s2, c2, c3))
+    )
     if n_valid is not None:
         cls = jnp.where(valid, cls, PAD)
 
