@@ -20,7 +20,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mb", type=float, default=32)
     p.add_argument("--encoding", default="cl100k_base")
-    p.add_argument("--mode", default="device", choices=["device", "host"])
+    p.add_argument("--mode", default="device", choices=["device", "host", "native", "native-mt", "tiktoken"])
     p.add_argument("--flavor", default="english",
                    choices=["english", "mixed", "cjk"])
     p.add_argument("--smoke", action="store_true",

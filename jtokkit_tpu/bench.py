@@ -57,7 +57,6 @@ def run(
     passes: int = 3,
     verify: bool = True,
 ) -> dict:
-    from .engine.device import DeviceEngine
     from .engine.oracle import OracleEngine
     from .vocab.definitions import BUILTIN_DEFINITIONS
     from .vocab.loader import load_builtin_ranks
@@ -74,7 +73,65 @@ def run(
         t0 = time.time()
         total = sum(len(orc.encode_ordinary(t)[0]) for t in docs)
         elapsed = time.time() - t0
+    elif mode in ("native", "native-mt"):
+        # reference protocol analog: single- and multi-threaded host passes
+        # (the JMH benches fan files over a thread pool, reference
+        # benchmark/.../AbstractMultiThreadedBenchmark.java:35-45; the C ABI
+        # releases the GIL so Python threads scale)
+        from .native import NativeEngine
+        from .vocab.loader import asset_path
+        from .vocab.tables import load_packed
+
+        packed = load_packed(
+            d.vocab_name, orc.ranks, asset_path(d.vocab_name)
+        )
+        nat = NativeEngine(packed, d.pattern)
+        nat.encode_ordinary(docs[0])  # warm
+        if mode == "native":
+            best = float("inf")
+            for _ in range(passes):
+                t0 = time.time()
+                total = sum(len(nat.encode_ordinary(t)) for t in docs)
+                best = min(best, time.time() - t0)
+            elapsed = best
+        else:
+            import concurrent.futures as cf
+            import os as _os
+
+            workers = _os.cpu_count() or 2
+            with cf.ThreadPoolExecutor(workers) as pool:
+                best = float("inf")
+                for _ in range(passes):
+                    t0 = time.time()
+                    counts = list(pool.map(
+                        lambda t: len(nat.encode_ordinary(t)), docs
+                    ))
+                    best = min(best, time.time() - t0)
+                total = sum(counts)
+                elapsed = best
+    elif mode == "tiktoken":
+        # comparison point (reference benchmark/bench.py drives tiktoken's
+        # encode_ordinary_batch); constructed from local rank files
+        import tiktoken
+
+        pat = {
+            "gpt2": r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+            "cl100k": r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""",
+        }[d.pattern]
+        tk = tiktoken.Encoding(
+            name=encoding, pat_str=pat, mergeable_ranks=orc.ranks,
+            special_tokens=d.special_tokens,
+        )
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            out = tk.encode_ordinary_batch(docs)
+            best = min(best, time.time() - t0)
+        total = sum(len(t) for t in out)
+        elapsed = best
     else:
+        from .engine.device import DeviceEngine
+
         eng = DeviceEngine.from_oracle(orc)
         total = eng.count_tokens_corpus(docs)  # warm-up + compile
         best = float("inf")
@@ -97,8 +154,9 @@ def run(
 
     mbps = nbytes / elapsed / 1e6
     baseline = BASELINE_MBPS.get(encoding, BASELINE_MBPS["cl100k_base"])
+    where = "1 chip" if mode == "device" else "host"
     return {
-        "metric": f"{encoding} encode throughput ({mode}, 1 chip)",
+        "metric": f"{encoding} encode throughput ({mode}, {where})",
         "value": round(mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(mbps / baseline, 2),

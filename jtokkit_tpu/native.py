@@ -70,12 +70,12 @@ def _load() -> Optional[ctypes.CDLL]:
 class NativeEngine:
     """Native encoder bound to one encoding's packed tables.
 
-    NOTE: the underlying library holds one global table set; the LAST
-    initialized encoding wins. :class:`NativeEngineCache` re-initializes on
-    encoding switches (cheap: one hash build over the vocab).
+    Each engine owns one of the library's table slots (handles), so multiple
+    encodings encode concurrently with no locking: the C calls are pure reads
+    over immutable tables and release the GIL, so Python threads scale.
     """
 
-    _current_key = None
+    _next_handle = 0
     _cls_table = None  # keep alive
 
     def __init__(self, packed, pattern: str):
@@ -87,75 +87,85 @@ class NativeEngine:
         self._lib = lib
         self._packed = packed
         self._pattern_code = 0 if pattern == "gpt2" else 1
-        self._key = (id(packed), pattern)
         if NativeEngine._cls_table is None:
             NativeEngine._cls_table = np.ascontiguousarray(
                 charclass.class_table()
             )
-        self._ensure_tables()
-
-    def _ensure_tables(self):
-        if NativeEngine._current_key == self._key:
-            return
-        p = self._packed
-        self._refs = [
-            np.ascontiguousarray(p.byte_to_id),
-            np.ascontiguousarray(p.byte_pair_id),
-            np.ascontiguousarray(p.cuckoo_u),
-            np.ascontiguousarray(p.cuckoo_v),
-            np.ascontiguousarray(p.cuckoo_id),
-            np.ascontiguousarray(p.token_bytes),
-            np.ascontiguousarray(p.token_offsets),
-        ]
-        b2i, bp, cu, cv, cid, pool, offs = self._refs
-        self._lib.jt_init(
-            NativeEngine._cls_table.ctypes.data_as(ctypes.c_void_p),
-            b2i.ctypes.data_as(ctypes.c_void_p),
-            bp.ctypes.data_as(ctypes.c_void_p),
-            cu.ctypes.data_as(ctypes.c_void_p),
-            cv.ctypes.data_as(ctypes.c_void_p),
-            cid.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_int64(cu.shape[1]),
-            pool.ctypes.data_as(ctypes.c_void_p),
-            offs.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_int32(p.n_tokens),
-        )
-        NativeEngine._current_key = self._key
-        NativeEngine._live_refs = self._refs  # pin
+        with _lock:
+            handle = NativeEngine._next_handle
+            NativeEngine._next_handle += 1
+            if handle >= 16:
+                raise RuntimeError("too many native engines (max 16)")
+            p = packed
+            # pin the table arrays for the lifetime of this engine
+            self._refs = [
+                np.ascontiguousarray(p.byte_to_id),
+                np.ascontiguousarray(p.byte_pair_id),
+                np.ascontiguousarray(p.cuckoo_u),
+                np.ascontiguousarray(p.cuckoo_v),
+                np.ascontiguousarray(p.cuckoo_id),
+                np.ascontiguousarray(p.token_bytes),
+                np.ascontiguousarray(p.token_offsets),
+            ]
+            b2i, bp, cu, cv, cid, pool, offs = self._refs
+            got = self._lib.jt_init(
+                ctypes.c_int32(handle),
+                NativeEngine._cls_table.ctypes.data_as(ctypes.c_void_p),
+                b2i.ctypes.data_as(ctypes.c_void_p),
+                bp.ctypes.data_as(ctypes.c_void_p),
+                cu.ctypes.data_as(ctypes.c_void_p),
+                cv.ctypes.data_as(ctypes.c_void_p),
+                cid.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(cu.shape[1]),
+                pool.ctypes.data_as(ctypes.c_void_p),
+                offs.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int32(p.n_tokens),
+            )
+            if got != handle:
+                raise RuntimeError("native engine init failed")
+            self._handle = handle
 
     def encode_ordinary(self, text: str) -> list:
-        data = text.encode("utf-8")
-        if not data:
-            return []
-        with _lock:
-            self._ensure_tables()
-            buf = np.frombuffer(data, dtype=np.uint8)
-            out = np.empty(len(data), dtype=np.int32)
-            m = self._lib.jt_encode(
-                buf.ctypes.data_as(ctypes.c_void_p),
-                ctypes.c_int64(len(data)),
-                ctypes.c_int32(self._pattern_code),
-                out.ctypes.data_as(ctypes.c_void_p),
-            )
+        out, m = self._encode_raw(text)
         if m < 0:
             raise RuntimeError("native engine not initialized")
         return out[:m].tolist()
+
+    def encode_ordinary_array(self, text: str) -> np.ndarray:
+        out, m = self._encode_raw(text)
+        if m < 0:
+            raise RuntimeError("native engine not initialized")
+        return out[:m]
+
+    def _encode_raw(self, text: str):
+        data = text.encode("utf-8")
+        if not data:
+            return np.zeros(0, dtype=np.int32), 0
+        buf = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(len(data), dtype=np.int32)
+        m = self._lib.jt_encode(
+            ctypes.c_int32(self._handle),
+            buf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(data)),
+            ctypes.c_int32(self._pattern_code),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out, m
 
     def split_ends(self, text: str) -> np.ndarray:
         """Piece end byte-offsets (for differential testing)."""
         data = text.encode("utf-8")
         if not data:
             return np.zeros(0, dtype=np.int32)
-        with _lock:
-            self._ensure_tables()
-            buf = np.frombuffer(data, dtype=np.uint8)
-            out = np.empty(len(data), dtype=np.int32)
-            m = self._lib.jt_split(
-                buf.ctypes.data_as(ctypes.c_void_p),
-                ctypes.c_int64(len(data)),
-                ctypes.c_int32(self._pattern_code),
-                out.ctypes.data_as(ctypes.c_void_p),
-            )
+        buf = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(len(data), dtype=np.int32)
+        m = self._lib.jt_split(
+            ctypes.c_int32(self._handle),
+            buf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(data)),
+            ctypes.c_int32(self._pattern_code),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
         return out[:m].copy()
 
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..engine.charclass import CRLF, LETTER, NUMBER, OTHER, PAD, SPACE, WS
 
-_BOS = jnp.int32(-1)  # sentinel class "before begin / after end"
+_BOS = -1  # sentinel class "before begin / after end"
 
 # contraction suffix bytes (ASCII)
 _APO = 0x27

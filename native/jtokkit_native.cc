@@ -301,70 +301,78 @@ static int merge_piece(const Tables& t, const uint8_t* p, int n,
   return m;
 }
 
-Tables g_tables;
-bool g_ready = false;
+// Multiple independent table sets so several encodings can be used
+// concurrently; each handle's tables are immutable after jt_init.
+constexpr int kMaxHandles = 16;
+Tables g_handles[kMaxHandles];
+bool g_handle_ready[kMaxHandles] = {};
 
 }  // namespace
 
 extern "C" {
 
-int jt_init(const int8_t* cls, const int32_t* byte_to_id,
+// Initializes table slot `handle` (0..15). Returns handle, or -1 on error.
+int jt_init(int32_t handle, const int8_t* cls, const int32_t* byte_to_id,
             const int32_t* byte_pair, const int32_t* cu, const int32_t* cv,
             const int32_t* cid, int64_t table_size, const uint8_t* pool,
             const int32_t* offsets, int32_t n_tokens) {
-  g_tables.cls = cls;
-  g_tables.byte_to_id = byte_to_id;
-  g_tables.byte_pair = byte_pair;
-  g_tables.cu0 = cu; g_tables.cv0 = cv; g_tables.cid0 = cid;
-  g_tables.cu1 = cu + table_size; g_tables.cv1 = cv + table_size;
-  g_tables.cid1 = cid + table_size;
-  g_tables.mask = (uint32_t)(table_size - 1);
-  g_tables.pool = pool;
-  g_tables.offsets = offsets;
-  g_tables.n_tokens = n_tokens;
+  if (handle < 0 || handle >= kMaxHandles) return -1;
+  Tables& t = g_handles[handle];
+  t.cls = cls;
+  t.byte_to_id = byte_to_id;
+  t.byte_pair = byte_pair;
+  t.cu0 = cu; t.cv0 = cv; t.cid0 = cid;
+  t.cu1 = cu + table_size; t.cv1 = cv + table_size;
+  t.cid1 = cid + table_size;
+  t.mask = (uint32_t)(table_size - 1);
+  t.pool = pool;
+  t.offsets = offsets;
+  t.n_tokens = n_tokens;
   // build the direct-hit byte-string hash (one-time)
   uint32_t size = 1;
   while (size < (uint32_t)(2 * n_tokens)) size <<= 1;
-  g_tables.dh_mask = size - 1;
-  g_tables.dh_slot.assign(size, -1);
+  t.dh_mask = size - 1;
+  t.dh_slot.assign(size, -1);
   for (int32_t id = 0; id < n_tokens; id++) {
     int32_t off = offsets[id], len = offsets[id + 1] - off;
     if (len <= 0) continue;
-    uint32_t s = (uint32_t)(bytes_hash(pool + off, len) & g_tables.dh_mask);
-    while (g_tables.dh_slot[s] >= 0) s = (s + 1) & g_tables.dh_mask;
-    g_tables.dh_slot[s] = id;
+    uint32_t s = (uint32_t)(bytes_hash(pool + off, len) & t.dh_mask);
+    while (t.dh_slot[s] >= 0) s = (s + 1) & t.dh_mask;
+    t.dh_slot[s] = id;
   }
-  g_ready = true;
-  return 0;
+  g_handle_ready[handle] = true;
+  return handle;
 }
 
 // pattern: 0 = gpt2, 1 = cl100k.
 // out must have room for `n` int32 (<= one token per byte).
-// Returns token count, or -1 if not initialized.
-int64_t jt_encode(const uint8_t* text, int64_t n, int32_t pattern,
-                  int32_t* out) {
-  if (!g_ready) return -1;
+// Returns token count, or -1 if the handle is not initialized.
+int64_t jt_encode(int32_t handle, const uint8_t* text, int64_t n,
+                  int32_t pattern, int32_t* out) {
+  if (handle < 0 || handle >= kMaxHandles || !g_handle_ready[handle]) return -1;
+  const Tables& t = g_handles[handle];
   thread_local std::vector<int> ends;
   ends.clear();
-  if (pattern == 0) split_gpt2(g_tables, text, (int)n, ends);
-  else split_cl100k(g_tables, text, (int)n, ends);
+  if (pattern == 0) split_gpt2(t, text, (int)n, ends);
+  else split_cl100k(t, text, (int)n, ends);
   int64_t m = 0;
   int start = 0;
   for (int e : ends) {
-    m += merge_piece(g_tables, text + start, e - start, out + m);
+    m += merge_piece(t, text + start, e - start, out + m);
     start = e;
   }
   return m;
 }
 
 // Pre-split only: writes piece end offsets, returns piece count.
-int64_t jt_split(const uint8_t* text, int64_t n, int32_t pattern,
-                 int32_t* out_ends) {
-  if (!g_ready) return -1;
+int64_t jt_split(int32_t handle, const uint8_t* text, int64_t n,
+                 int32_t pattern, int32_t* out_ends) {
+  if (handle < 0 || handle >= kMaxHandles || !g_handle_ready[handle]) return -1;
+  const Tables& t = g_handles[handle];
   thread_local std::vector<int> ends;
   ends.clear();
-  if (pattern == 0) split_gpt2(g_tables, text, (int)n, ends);
-  else split_cl100k(g_tables, text, (int)n, ends);
+  if (pattern == 0) split_gpt2(t, text, (int)n, ends);
+  else split_cl100k(t, text, (int)n, ends);
   for (size_t i = 0; i < ends.size(); i++) out_ends[i] = ends[i];
   return (int64_t)ends.size();
 }
