@@ -100,8 +100,10 @@ class GptBytePairEncoding(Encoding):
         return self.encode_ordinary(text)
 
     def encode_capped(self, text: Optional[str], max_tokens: int) -> EncodingResult:
-        tokens, truncated = self._oracle.encode(text, max_tokens)
-        return EncodingResult(tokens, truncated)
+        if text is None:
+            return EncodingResult([], False)
+        self._oracle.check_special(text)
+        return self.encode_ordinary_capped(text, max_tokens)
 
     def encode_ordinary(self, text: Optional[str]) -> List[int]:
         if text is None:
@@ -114,6 +116,19 @@ class GptBytePairEncoding(Encoding):
     def encode_ordinary_capped(
         self, text: Optional[str], max_tokens: int
     ) -> EncodingResult:
+        if text is None:
+            return EncodingResult([], False)
+        native = self.native_engine()
+        if native is not None:
+            # the capped result is the first max_tokens tokens of the full
+            # encoding, with the multibyte repair applied (the reference's
+            # early-exit loop and clipping produce exactly this prefix,
+            # M/GptBytePairEncoding.java:79-100,110-119)
+            full = native.encode_ordinary(text)
+            tokens, truncated = self._oracle._repair_truncation(
+                text, full[:max_tokens]
+            )
+            return EncodingResult(tokens, truncated)
         tokens, truncated = self._oracle.encode_ordinary(text, max_tokens)
         return EncodingResult(tokens, truncated)
 
