@@ -42,7 +42,7 @@ _MIN_ROWS = 128
 _SEP = 0  # separator byte value (marked invalid; value irrelevant)
 # Max flat-buffer size per device call; overridable (tests use small chunks
 # to keep compile times down on the CPU backend).
-_CHUNK_BYTES = int(os.environ.get("JTOKKIT_TPU_CHUNK", 1 << 21))
+_CHUNK_BYTES = int(os.environ.get("JTOKKIT_TPU_CHUNK", 1 << 20))
 # Quantized chunk shapes: each distinct (flat size, doc slots) pair costs a
 # compilation (slow through the remote-compile tunnel), so allow only a few.
 _FLAT_SIZES = tuple(
@@ -335,18 +335,27 @@ class DeviceEngine:
     # public batch API
     # ------------------------------------------------------------------
 
+    def _dispatch_chunks(self, texts):
+        """Dispatch every chunk asynchronously (device work pipelines; each
+        host↔device sync costs a tunnel round-trip, so sync happens once,
+        when the caller consumes the results)."""
+        dispatched = []
+        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
+            res = self._chunk_fn(
+                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
+            )
+            dispatched.append((buf, valid, doc_ends, parts, res))
+        return dispatched
+
     def encode_ordinary_batch(
         self, texts: Sequence[Optional[str]]
     ) -> List[List[int]]:
         if not texts:
             return []
         out: List[List[int]] = [[] for _ in texts]
-        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
-            res = self._chunk_fn(
-                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
-            )
+        for buf, valid, doc_ends, parts, res in self._dispatch_chunks(texts):
             if int(res.overflow) > 0:
-                # pathological >4KB single pieces: host-glue fallback path
+                # pathological chunks (capacity overflow): host fallback
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, out)
                 continue
             n_tokens = int(res.n_tokens)
@@ -361,10 +370,7 @@ class DeviceEngine:
         if not texts:
             return []
         counts = [0] * len(texts)
-        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
-            res = self._chunk_fn(
-                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
-            )
+        for buf, valid, doc_ends, parts, res in self._dispatch_chunks(texts):
             if int(res.overflow) > 0:
                 tmp: List[List[int]] = [[] for _ in texts]
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
@@ -379,10 +385,7 @@ class DeviceEngine:
     def count_tokens_corpus(self, texts: Sequence[Optional[str]]) -> int:
         """Total token count; only scalars leave the device."""
         total = 0
-        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
-            res = self._chunk_fn(
-                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
-            )
+        for buf, valid, doc_ends, parts, res in self._dispatch_chunks(texts):
             if int(res.overflow) > 0:
                 tmp: List[List[int]] = [[] for _ in texts]
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)

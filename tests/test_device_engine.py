@@ -74,6 +74,15 @@ def test_device_fuzz(enc_name):
     check_batch(enc_name, texts)
 
 
+def test_overflow_fallback_exact():
+    """Adversarial all-1-byte-piece input overflows the piece table and must
+    fall back to the host path with identical output."""
+    orc, dev = engines("cl100k_base")
+    text = "a1" * 80_000  # alternating letter/digit: every piece is 1 byte
+    got = dev.encode_ordinary_batch([text])
+    assert got[0] == orc.encode_ordinary(text)[0]
+
+
 def test_count_tokens_batch(enc_name):
     orc, dev = engines(enc_name)
     texts = ["hello world", "日本語", "", "a b c"]
