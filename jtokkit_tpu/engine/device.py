@@ -116,14 +116,39 @@ class DeviceEngine:
         self._word_lenid = jnp.asarray(word_lenid)
 
         @jax.jit
-        def _chunk_fn(buf, valid, doc_ends):
-            return pipeline.encode_chunk(
+        def _stage_a_fn(buf, valid, doc_ends):
+            return pipeline.stage_a(
                 buf, valid, doc_ends, self._class_table, self.pattern,
-                self._byte_to_id, self._byte_pair_id, self._cuckoo_u,
-                self._cuckoo_v, self._cuckoo_id, self.packed.table_mask,
                 self._word_w0, self._word_w1, self._word_lenid,
                 self.packed.word_mask,
             )
+
+        self._merge_bucket_jits = {}
+
+        def _merge_bucket_fn(lanes: int, cap: int):
+            key = (lanes, cap)
+            fn = self._merge_bucket_jits.get(key)
+            if fn is None:
+                fn = jax.jit(
+                    functools.partial(
+                        pipeline.merge_bucket,
+                        lanes=lanes, cap=cap,
+                    ),
+                    static_argnames=(),
+                )
+                self._merge_bucket_jits[key] = fn
+            return fn
+
+        self._counts_init = jax.jit(pipeline.counts_init)
+        self._counts_add = jax.jit(pipeline.counts_add_bucket)
+        self._make_offsets = jax.jit(pipeline.make_offsets)
+        self._scatter_hits = jax.jit(pipeline.scatter_hits, static_argnums=(0,))
+        self._scatter_bucket = jax.jit(pipeline.scatter_bucket)
+        self._doc_counts = jax.jit(
+            pipeline.doc_token_counts, static_argnums=(3,)
+        )
+        self._stage_a_fn = _stage_a_fn
+        self._merge_bucket_fn = _merge_bucket_fn
 
         self._token_offsets = jnp.asarray(packed.token_offsets)
         self._token_bytes = jnp.asarray(packed.token_bytes)
@@ -137,7 +162,6 @@ class DeviceEngine:
 
         self._boundary_fn = _boundary_fn
         self._merge_fn = _merge_fn
-        self._chunk_fn = _chunk_fn
         self._decode_fn = _decode_fn
 
     @classmethod
@@ -335,17 +359,65 @@ class DeviceEngine:
     # public batch API
     # ------------------------------------------------------------------
 
-    def _dispatch_chunks(self, texts):
-        """Dispatch every chunk asynchronously (device work pipelines; each
-        host↔device sync costs a tunnel round-trip, so sync happens once,
-        when the caller consumes the results)."""
-        dispatched = []
-        for buf, valid, doc_ends, parts in self._plan_chunks(texts):
-            res = self._chunk_fn(
+    # capacity variants per bucket: smallest power of two ≥ count, floored,
+    # clamped to the guaranteed maximum for the chunk size
+    _CAP_FLOOR = 512
+
+    def _bucket_cap(self, n_chunk: int, lanes: int, count: int) -> int:
+        max_cap = max(n_chunk // pipeline.BUCKET_MAX_DIV[lanes], 8)
+        return min(_next_pow2(count, self._CAP_FLOOR), _next_pow2(max_cap))
+
+    def _process_chunks(self, texts, want_tokens: bool):
+        """Run the staged pipeline over all chunks with two host sync
+        rounds: one for stage-A metadata, one for final outputs."""
+        plan = list(self._plan_chunks(texts))
+        staged = []
+        for buf, valid, doc_ends, parts in plan:
+            table, meta = self._stage_a_fn(
                 jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
             )
-            dispatched.append((buf, valid, doc_ends, parts, res))
-        return dispatched
+            staged.append((buf, valid, doc_ends, parts, table, meta))
+
+        results = []
+        for buf, valid, doc_ends, parts, t, meta in staged:
+            meta_np = np.asarray(meta)  # sync round 1 (tiny)
+            overflow, n_pieces = int(meta_np[0]), int(meta_np[1])
+            bucket_counts = meta_np[2:]
+            if overflow > 0:
+                results.append(("fallback", buf, valid, doc_ends, parts))
+                continue
+            N = len(buf)
+            counts = self._counts_init(t.hit, t.n_pieces)
+            bucket_outs = []
+            for b, lanes in enumerate(pipeline.BUCKET_WIDTHS):
+                cnt = int(bucket_counts[b])
+                if cnt == 0:
+                    continue
+                cap = self._bucket_cap(N, lanes, cnt)
+                cols, ids, active = self._merge_bucket_fn(lanes, cap)(
+                    jnp.asarray(buf), t.starts, t.lens, t.miss_sorted,
+                    t.group_start[b], jnp.int32(cnt),
+                    self._byte_to_id, self._byte_pair_id, self._cuckoo_u,
+                    self._cuckoo_v, self._cuckoo_id, self.packed.table_mask,
+                )
+                counts = self._counts_add(counts, cols, active)
+                bucket_outs.append((cols, ids, active))
+            offsets, n_tokens = self._make_offsets(counts, t.n_pieces)
+            if want_tokens:
+                tokens = self._scatter_hits(N, t.hit, offsets, t.n_pieces)
+                for cols, ids, active in bucket_outs:
+                    tokens = self._scatter_bucket(
+                        tokens, ids, active, cols, offsets
+                    )
+            else:
+                tokens = None
+            doc_counts = self._doc_counts(
+                counts, t.doc_of, t.n_pieces, len(doc_ends)
+            )
+            results.append(
+                ("ok", parts, tokens, n_tokens, doc_counts)
+            )
+        return results
 
     def encode_ordinary_batch(
         self, texts: Sequence[Optional[str]]
@@ -353,14 +425,17 @@ class DeviceEngine:
         if not texts:
             return []
         out: List[List[int]] = [[] for _ in texts]
-        for buf, valid, doc_ends, parts, res in self._dispatch_chunks(texts):
-            if int(res.overflow) > 0:
-                # pathological chunks (capacity overflow): host fallback
+        for res in self._process_chunks(texts, want_tokens=True):
+            if res[0] == "fallback":
+                _, buf, valid, doc_ends, parts = res
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, out)
                 continue
-            n_tokens = int(res.n_tokens)
-            tokens = np.asarray(res.tokens[:n_tokens] if n_tokens else res.tokens[:0])
-            doc_counts = np.asarray(res.doc_counts)[: len(parts)]
+            _, parts, tokens_dev, n_tokens_dev, doc_counts_dev = res
+            n_tokens = int(n_tokens_dev)  # sync round 2
+            tokens = np.asarray(
+                tokens_dev[:n_tokens] if n_tokens else tokens_dev[:0]
+            )
+            doc_counts = np.asarray(doc_counts_dev)[: len(parts)]
             splits = np.cumsum(doc_counts)[:-1]
             for doc_idx, toks in zip(parts, np.split(tokens, splits)):
                 out[doc_idx].extend(toks.tolist())
@@ -370,28 +445,31 @@ class DeviceEngine:
         if not texts:
             return []
         counts = [0] * len(texts)
-        for buf, valid, doc_ends, parts, res in self._dispatch_chunks(texts):
-            if int(res.overflow) > 0:
+        for res in self._process_chunks(texts, want_tokens=False):
+            if res[0] == "fallback":
+                _, buf, valid, doc_ends, parts = res
                 tmp: List[List[int]] = [[] for _ in texts]
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
                 for i, toks in enumerate(tmp):
                     counts[i] += len(toks)
                 continue
-            doc_counts = np.asarray(res.doc_counts)[: len(parts)]
+            _, parts, _tokens, _n_tokens, doc_counts_dev = res
+            doc_counts = np.asarray(doc_counts_dev)[: len(parts)]
             for doc_idx, c in zip(parts, doc_counts):
                 counts[doc_idx] += int(c)
         return counts
 
     def count_tokens_corpus(self, texts: Sequence[Optional[str]]) -> int:
-        """Total token count; only scalars leave the device."""
+        """Total token count; only small arrays leave the device."""
         total = 0
-        for buf, valid, doc_ends, parts, res in self._dispatch_chunks(texts):
-            if int(res.overflow) > 0:
+        for res in self._process_chunks(texts, want_tokens=False):
+            if res[0] == "fallback":
+                _, buf, valid, doc_ends, parts = res
                 tmp: List[List[int]] = [[] for _ in texts]
                 self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
                 total += sum(len(t) for t in tmp)
                 continue
-            total += int(res.n_tokens)
+            total += int(res[3])
         return total
 
     def decode_bytes_batch(self, token_lists) -> List[bytes]:
