@@ -3,22 +3,27 @@
 Pipeline per batch (documents → token ids), replacing the reference's
 sequential per-string loop (``M/GptBytePairEncoding.java:71-103``):
 
-1. Documents are concatenated into one flat byte buffer with one separator
-   byte between documents; separators are marked invalid so they classify as
-   PAD and act as hard piece breaks (no run, glue, or merge crosses them).
-2. DEVICE: vectorized classify + piece-boundary pass (``ops/classify.py``,
-   ``ops/boundaries.py``) → piece-start mask.
-3. HOST (numpy, O(#pieces) vector ops): piece extraction + length-bucketing
-   into padded [rows, lanes] matrices (lanes ∈ {16, 32, ..., 4096}).
-4. DEVICE: exact vectorized merge per bucket (``ops/merge.py``) → span ids.
-5. HOST: scatter-stitch tokens back into per-document lists (vectorized).
+1. Documents are packed into flat byte chunks with one separator byte
+   between documents; validity is DERIVED ON DEVICE from the doc-end table
+   (no bool-mask upload — host→device bandwidth is precious).
+2. DEVICE stage A (one jit, ``ops/stage4.py``): classify (arithmetic for
+   pure-ASCII chunks, codepoint-table gather otherwise) → piece boundaries
+   via three fused tuple scans → piece table → word-table direct hits →
+   miss list grouped by length bucket.
+3. HOST sync 1: ONE batched fetch of all chunks' 7-int metadata.
+   Chunks whose piece/miss tables overflowed are re-dispatched with the
+   roomy variant (P=N); chunks with a piece longer than the largest merge
+   bucket (4096 bytes of ONE regex piece — pathological) take a host-glue
+   fallback.
+4. DEVICE stage B (per nonempty bucket): exact byte-pair merge over the
+   bucket's pieces (``ops/merge.merge_rows_t2``), capacity = smallest power
+   of two covering the actual count.
+5. DEVICE stage C: counts → offsets → hit/bucket scatters → per-doc counts.
+6. HOST sync 2: ONE batched fetch of all chunks' outputs (device-side
+   concatenated), then a vectorized host stitch into per-document lists.
 
-Pieces longer than the largest bucket (40962 bytes of one regex piece —
-pathological) fall back to the host oracle for that piece only.
-
-JIT shape discipline: the flat buffer and bucket row counts are padded to
-powers of two (with floors), so compilations are cached and reused across
-batches.
+JIT shape discipline: chunk sizes and bucket capacities are quantized to a
+few powers of two so compilations are cached and reused across batches.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import boundaries, classify, decode as decode_ops, merge, pipeline
+from ..ops import boundaries, classify, decode as decode_ops, merge, pipeline, stage4
 from ..vocab import tables as vtables
 from ..vocab.loader import asset_path
 from .oracle import OracleEngine, byte_pair_merge
@@ -49,6 +54,13 @@ _FLAT_SIZES = tuple(
     s for s in (8192, 131072, 1 << 21) if s < _CHUNK_BYTES
 ) + (_CHUNK_BYTES,)
 _DOC_SIZES = (64, 1024, 16384, 262144)
+
+# (piece_div, miss_div) variants: the primary sizing covers natural text
+# (~0.21 pieces/byte for English, ~0.03 misses/byte); the roomy sizing is
+# provably sufficient for ANY input (every piece is >= 1 byte; every miss
+# is >= 2 bytes) and is used only on capacity-overflow retry.
+_DIVS_PRIMARY = (4, 8)
+_DIVS_ROOMY = (1, 2)
 
 
 def _quantize(n: int, sizes) -> int:
@@ -89,13 +101,34 @@ class DeviceEngine:
         self._class_table = jnp.asarray(classify.class_table_array())
         self._byte_to_id = jnp.asarray(packed.byte_to_id)
         self._byte_pair_id = jnp.asarray(packed.byte_pair_id)
+
+        enable_compile_cache()
+
+        # packed row tables: fetch a whole hash entry in ONE gather
+        zeros_pair = np.zeros_like(packed.cuckoo_u[0])
+        self._pair_rows0 = jnp.asarray(np.stack(
+            [packed.cuckoo_u[0], packed.cuckoo_v[0], packed.cuckoo_id[0],
+             zeros_pair], axis=1))
+        self._pair_rows1 = jnp.asarray(np.stack(
+            [packed.cuckoo_u[1], packed.cuckoo_v[1], packed.cuckoo_id[1],
+             zeros_pair], axis=1))
+        word_lenid = np.where(
+            packed.word_len < 0, -1, (packed.word_len << 20) | packed.word_id
+        ).astype(np.int32)
+        zeros_word = np.zeros_like(packed.word_w0[0])
+        self._word_rows0 = jnp.asarray(np.stack(
+            [packed.word_w0[0], packed.word_w1[0], word_lenid[0], zeros_word],
+            axis=1))
+        self._word_rows1 = jnp.asarray(np.stack(
+            [packed.word_w0[1], packed.word_w1[1], word_lenid[1], zeros_word],
+            axis=1))
+
+        # legacy scalar-table views (sharded DP path, graft entry)
         self._cuckoo_u = jnp.asarray(packed.cuckoo_u)
         self._cuckoo_v = jnp.asarray(packed.cuckoo_v)
         self._cuckoo_id = jnp.asarray(packed.cuckoo_id)
 
-        enable_compile_cache()
-
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def _boundary_fn(data, valid):
             info = classify.classify_bytes(data, self._class_table, valid)
             return boundaries.piece_starts(info, self.pattern)
@@ -108,20 +141,27 @@ class DeviceEngine:
                 self.packed.table_mask,
             )
 
-        self._word_w0 = jnp.asarray(packed.word_w0)
-        self._word_w1 = jnp.asarray(packed.word_w1)
-        word_lenid = np.where(
-            packed.word_len < 0, -1, (packed.word_len << 20) | packed.word_id
-        ).astype(np.int32)
-        self._word_lenid = jnp.asarray(word_lenid)
+        # stage A v4: jits keyed on (variant, divs); compiled shapes are
+        # additionally keyed by the input shapes via the jit cache
+        self._stage_a_jits = {}
 
-        @jax.jit
-        def _stage_a_fn(buf, valid, doc_ends):
-            return pipeline.stage_a(
-                buf, valid, doc_ends, self._class_table, self.pattern,
-                self._word_w0, self._word_w1, self._word_lenid,
-                self.packed.word_mask,
-            )
+        def _stage_a_fn(variant: str, divs: Tuple[int, int]):
+            key = (variant, divs)
+            fn = self._stage_a_jits.get(key)
+            if fn is None:
+                fn = jax.jit(functools.partial(
+                    stage4.stage_a_v4,
+                    class_table=self._class_table,
+                    pattern=self.pattern,
+                    word_rows0=self._word_rows0,
+                    word_rows1=self._word_rows1,
+                    word_mask=self.packed.word_mask,
+                    variant=variant,
+                    piece_div=divs[0],
+                    miss_div=divs[1],
+                ))
+                self._stage_a_jits[key] = fn
+            return fn
 
         self._merge_bucket_jits = {}
 
@@ -129,13 +169,9 @@ class DeviceEngine:
             key = (lanes, cap)
             fn = self._merge_bucket_jits.get(key)
             if fn is None:
-                fn = jax.jit(
-                    functools.partial(
-                        pipeline.merge_bucket,
-                        lanes=lanes, cap=cap,
-                    ),
-                    static_argnames=(),
-                )
+                fn = jax.jit(functools.partial(
+                    pipeline.merge_bucket_v2, lanes=lanes, cap=cap,
+                ))
                 self._merge_bucket_jits[key] = fn
             return fn
 
@@ -147,7 +183,7 @@ class DeviceEngine:
         self._doc_counts = jax.jit(
             pipeline.doc_token_counts, static_argnums=(3,)
         )
-        self._stage_a_fn = _stage_a_fn
+        self._stage_a = _stage_a_fn
         self._merge_bucket_fn = _merge_bucket_fn
 
         self._token_offsets = jnp.asarray(packed.token_offsets)
@@ -173,35 +209,7 @@ class DeviceEngine:
         return cls(oracle.name, oracle.pattern, packed, oracle)
 
     # ------------------------------------------------------------------
-    # flat buffer construction
-    # ------------------------------------------------------------------
-
-    def _flatten(self, texts: Sequence[Optional[str]]):
-        """Concatenate docs with separator bytes; returns (buf, valid,
-        doc_bounds) where doc_bounds[i] = (start, end) byte range of doc i."""
-        encoded = [
-            (t.encode("utf-8") if t else b"") for t in texts
-        ]
-        total = sum(len(e) for e in encoded) + max(0, len(encoded) - 1)
-        size = _next_pow2(total, _MIN_FLAT)
-        buf = np.zeros(size, dtype=np.uint8)
-        valid = np.zeros(size, dtype=bool)
-        bounds = []
-        pos = 0
-        for i, e in enumerate(encoded):
-            if i > 0:
-                buf[pos] = _SEP  # invalid separator byte
-                pos += 1
-            start = pos
-            if e:
-                buf[pos : pos + len(e)] = np.frombuffer(e, dtype=np.uint8)
-                valid[pos : pos + len(e)] = True
-                pos += len(e)
-            bounds.append((start, pos))
-        return buf, valid, bounds, pos
-
-    # ------------------------------------------------------------------
-    # piece extraction + bucketing (host, vectorized)
+    # piece extraction + bucketing (host fallback path)
     # ------------------------------------------------------------------
 
     def _pieces(self, buf, valid, bounds, used) -> Tuple[np.ndarray, np.ndarray]:
@@ -220,10 +228,6 @@ class DeviceEngine:
         doc_of = np.minimum(doc_of, len(doc_ends) - 1)
         ends = np.minimum(next_start, doc_ends[doc_of])
         return starts.astype(np.int64), (ends - starts).astype(np.int64)
-
-    # ------------------------------------------------------------------
-    # merge + stitch
-    # ------------------------------------------------------------------
 
     def _encode_flat(self, buf, starts, lens):
         """Token ids for every piece, stitched into one flat token array plus
@@ -279,7 +283,7 @@ class DeviceEngine:
         return out, offsets
 
     # ------------------------------------------------------------------
-    # chunk planning (single-jit pipeline path)
+    # chunk planning
     # ------------------------------------------------------------------
 
     @staticmethod
@@ -305,9 +309,9 @@ class DeviceEngine:
     def _plan_chunks(self, texts: Sequence[Optional[str]]):
         """Split the batch into device chunks.
 
-        Yields (buf, valid, doc_ends, parts) where parts[i] = original doc
-        index of chunk-document i (one doc may span several chunk-documents
-        across chunks, in order; their tokens concatenate).
+        Yields (buf, doc_ends, parts, ascii_only) where parts[i] = original
+        doc index of chunk-document i (one doc may span several
+        chunk-documents across chunks, in order; their tokens concatenate).
         """
         pending = []  # (doc_idx, bytes)
         for i, t in enumerate(texts):
@@ -337,68 +341,124 @@ class DeviceEngine:
         total = sum(len(d) for (_i, d) in items) + len(items) - 1
         size = _quantize(total, _FLAT_SIZES)
         buf = np.zeros(size, dtype=np.uint8)
-        valid = np.zeros(size, dtype=bool)
         ends = np.zeros(len(items), dtype=np.int32)
         parts = []
         pos = 0
         for k, (i, data) in enumerate(items):
             if k > 0:
-                pos += 1  # separator (invalid byte)
+                pos += 1  # separator (invalid byte; derived on device)
             if data:
                 buf[pos : pos + len(data)] = np.frombuffer(data, np.uint8)
-                valid[pos : pos + len(data)] = True
                 pos += len(data)
             ends[k] = pos
             parts.append(i)
         d_size = _quantize(len(items), _DOC_SIZES)
         doc_ends = np.full(d_size, pos, dtype=np.int32)
         doc_ends[: len(items)] = ends
-        return buf, valid, doc_ends, parts
+        ascii_only = bool(buf.max(initial=0) < 0x80)
+        return buf, doc_ends, parts, ascii_only
+
+    @staticmethod
+    def _chunk_valid(doc_ends: np.ndarray, parts, size: int) -> np.ndarray:
+        """Host-side validity mask for the fallback path (the device derives
+        this itself in stage A)."""
+        used = int(doc_ends[len(parts) - 1])
+        valid = np.zeros(size, dtype=bool)
+        valid[:used] = True
+        for k in range(len(parts) - 1):
+            valid[int(doc_ends[k])] = False
+        return valid
 
     # ------------------------------------------------------------------
-    # public batch API
+    # staged pipeline
     # ------------------------------------------------------------------
 
     # capacity variants per bucket: smallest power of two ≥ count, floored,
     # clamped to the guaranteed maximum for the chunk size
     _CAP_FLOOR = 512
+    # pieces of len > prev_width fit at most N/(prev_width+1) times in N
+    # bytes; the 8-lane bucket is bounded by the miss table (misses ≥ 2 bytes)
+    _BUCKET_MAX_DIV = {8: 2, 32: 9, 128: 33, 512: 129, 4096: 513}
 
     def _bucket_cap(self, n_chunk: int, lanes: int, count: int) -> int:
-        max_cap = max(n_chunk // pipeline.BUCKET_MAX_DIV[lanes], 8)
+        max_cap = max(n_chunk // self._BUCKET_MAX_DIV[lanes], 8)
         return min(_next_pow2(count, self._CAP_FLOOR), _next_pow2(max_cap))
 
-    def _process_chunks(self, texts, want_tokens: bool):
-        """Run the staged pipeline over all chunks with two host sync
-        rounds: one for stage-A metadata, one for final outputs."""
-        plan = list(self._plan_chunks(texts))
-        staged = []
-        for buf, valid, doc_ends, parts in plan:
-            table, meta = self._stage_a_fn(
-                jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(doc_ends)
+    def preload_corpus(self, texts: Sequence[Optional[str]]):
+        """Chunk-plan a corpus and push its buffers to device HBM once.
+
+        The returned plan can be passed to the batch methods repeatedly —
+        the TPU analog of the reference benchmark's RAM-preloaded corpus
+        (``benchmark/README.md:9-11``): steady-state encode passes then pay
+        no host→device uploads.
+        """
+        plan = []
+        for buf, doc_ends, parts, ascii_only in self._plan_chunks(texts):
+            plan.append(
+                (buf, doc_ends, parts, ascii_only,
+                 jnp.asarray(buf), jnp.asarray(doc_ends))
             )
-            staged.append((buf, valid, doc_ends, parts, table, meta))
+        return plan
+
+    def _process_chunks(self, texts, want_tokens: bool, plan=None):
+        """Run the staged pipeline over all chunks with two batched host
+        syncs: one for stage-A metadata, one for final outputs."""
+        if plan is None:
+            plan = self.preload_corpus(texts)
+        staged = []
+        for buf, doc_ends, parts, ascii_only, buf_dev, doc_ends_dev in plan:
+            variant = "ascii" if ascii_only else "unicode"
+            table, meta = self._stage_a(variant, _DIVS_PRIMARY)(
+                buf_dev, doc_ends_dev
+            )
+            staged.append([buf, doc_ends, parts, variant, table, meta,
+                           buf_dev, doc_ends_dev])
+
+        # sync round 1: ONE fetch of all chunk metas
+        metas = (
+            np.array(jnp.stack([s[5] for s in staged]))
+            if staged else np.zeros((0, 7), np.int32)
+        )
+
+        # capacity-overflow retries (roomy variant is sufficient for any
+        # input); piece-length overflow -> host fallback
+        retried = []
+        for i, s in enumerate(staged):
+            ov = int(metas[i][0])
+            if ov & stage4.OVERFLOW_PIECE_LEN:
+                continue
+            if ov & stage4.OVERFLOW_CAPACITY:
+                table, meta = self._stage_a(s[3], _DIVS_ROOMY)(s[6], s[7])
+                s[4], s[5] = table, meta
+                retried.append(i)
+        if retried:
+            re_metas = np.asarray(jnp.stack([staged[i][5] for i in retried]))
+            for k, i in enumerate(retried):
+                metas[i] = re_metas[k]
 
         results = []
-        for buf, valid, doc_ends, parts, t, meta in staged:
-            meta_np = np.asarray(meta)  # sync round 1 (tiny)
-            overflow, n_pieces = int(meta_np[0]), int(meta_np[1])
-            bucket_counts = meta_np[2:]
-            if overflow > 0:
-                results.append(("fallback", buf, valid, doc_ends, parts))
+        for i, (buf, doc_ends, parts, variant, t, _meta, buf_dev,
+                _de_dev) in enumerate(staged):
+            overflow = int(metas[i][0])
+            bucket_counts = metas[i][2:]
+            if overflow & stage4.OVERFLOW_PIECE_LEN or (
+                overflow & stage4.OVERFLOW_CAPACITY
+            ):
+                results.append(("fallback", buf, doc_ends, parts))
                 continue
             N = len(buf)
             counts = self._counts_init(t.hit, t.n_pieces)
             bucket_outs = []
-            for b, lanes in enumerate(pipeline.BUCKET_WIDTHS):
+            for b, lanes in enumerate(stage4.BUCKET_WIDTHS):
                 cnt = int(bucket_counts[b])
                 if cnt == 0:
                     continue
                 cap = self._bucket_cap(N, lanes, cnt)
                 cols, ids, active = self._merge_bucket_fn(lanes, cap)(
-                    jnp.asarray(buf), t.starts, t.lens, t.miss_sorted,
+                    buf_dev, t.starts, t.lens, t.miss_sorted,
                     t.group_start[b], jnp.int32(cnt),
-                    self._byte_to_id, self._byte_pair_id, self._cuckoo_u,
-                    self._cuckoo_v, self._cuckoo_id, self.packed.table_mask,
+                    self._byte_to_id, self._byte_pair_id, self._pair_rows0,
+                    self._pair_rows1, self.packed.table_mask,
                 )
                 counts = self._counts_add(counts, cols, active)
                 bucket_outs.append((cols, ids, active))
@@ -414,10 +474,12 @@ class DeviceEngine:
             doc_counts = self._doc_counts(
                 counts, t.doc_of, t.n_pieces, len(doc_ends)
             )
-            results.append(
-                ("ok", parts, tokens, n_tokens, doc_counts)
-            )
+            results.append(("ok", parts, tokens, n_tokens, doc_counts))
         return results
+
+    # ------------------------------------------------------------------
+    # public batch API
+    # ------------------------------------------------------------------
 
     def encode_ordinary_batch(
         self, texts: Sequence[Optional[str]]
@@ -425,17 +487,29 @@ class DeviceEngine:
         if not texts:
             return []
         out: List[List[int]] = [[] for _ in texts]
-        for res in self._process_chunks(texts, want_tokens=True):
+        results = self._process_chunks(texts, want_tokens=True)
+        # sync round 2a: ONE fetch of every chunk's (n_tokens, doc_counts)
+        ok = [r for r in results if r[0] == "ok"]
+        if ok:
+            small = np.asarray(jnp.concatenate(
+                [jnp.concatenate([r[3][None], r[4]]) for r in ok]
+            ))
+        pos = 0
+        k = 0
+        for res in results:
             if res[0] == "fallback":
-                _, buf, valid, doc_ends, parts = res
-                self._encode_chunk_fallback(buf, valid, doc_ends, parts, out)
+                _, buf, doc_ends, parts = res
+                self._encode_chunk_fallback(buf, doc_ends, parts, out)
                 continue
-            _, parts, tokens_dev, n_tokens_dev, doc_counts_dev = res
-            n_tokens = int(n_tokens_dev)  # sync round 2
-            tokens = np.asarray(
-                tokens_dev[:n_tokens] if n_tokens else tokens_dev[:0]
-            )
-            doc_counts = np.asarray(doc_counts_dev)[: len(parts)]
+            _, parts, tokens_dev, _n_dev, doc_counts_dev = res
+            d_size = int(doc_counts_dev.shape[0])
+            n_tokens = int(small[pos])
+            doc_counts = small[pos + 1 : pos + 1 + len(parts)]
+            pos += 1 + d_size
+            # sync 2b: fetch only the live token prefix, not the padded buffer
+            tokens = np.asarray(tokens_dev[:n_tokens]) if n_tokens else \
+                np.zeros((0,), np.int32)
+            k += 1
             splits = np.cumsum(doc_counts)[:-1]
             for doc_idx, toks in zip(parts, np.split(tokens, splits)):
                 out[doc_idx].extend(toks.tolist())
@@ -445,31 +519,42 @@ class DeviceEngine:
         if not texts:
             return []
         counts = [0] * len(texts)
-        for res in self._process_chunks(texts, want_tokens=False):
+        results = self._process_chunks(texts, want_tokens=False)
+        ok = [r for r in results if r[0] == "ok"]
+        if ok:
+            small = np.asarray(jnp.concatenate([r[4] for r in ok]))
+        pos = 0
+        for res in results:
             if res[0] == "fallback":
-                _, buf, valid, doc_ends, parts = res
+                _, buf, doc_ends, parts = res
                 tmp: List[List[int]] = [[] for _ in texts]
-                self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
+                self._encode_chunk_fallback(buf, doc_ends, parts, tmp)
                 for i, toks in enumerate(tmp):
                     counts[i] += len(toks)
                 continue
             _, parts, _tokens, _n_tokens, doc_counts_dev = res
-            doc_counts = np.asarray(doc_counts_dev)[: len(parts)]
+            d_size = int(doc_counts_dev.shape[0])
+            doc_counts = small[pos : pos + len(parts)]
+            pos += d_size
             for doc_idx, c in zip(parts, doc_counts):
                 counts[doc_idx] += int(c)
         return counts
 
-    def count_tokens_corpus(self, texts: Sequence[Optional[str]]) -> int:
-        """Total token count; only small arrays leave the device."""
+    def count_tokens_corpus(self, texts: Sequence[Optional[str]], plan=None) -> int:
+        """Total token count; ONE scalar fetch for all non-fallback chunks."""
+        results = self._process_chunks(texts, want_tokens=False, plan=plan)
         total = 0
-        for res in self._process_chunks(texts, want_tokens=False):
+        ok = [r for r in results if r[0] == "ok"]
+        if ok:
+            total += int(np.asarray(sum(jnp.asarray(r[3]) for r in ok)))
+        for res in results:
             if res[0] == "fallback":
-                _, buf, valid, doc_ends, parts = res
-                tmp: List[List[int]] = [[] for _ in texts]
-                self._encode_chunk_fallback(buf, valid, doc_ends, parts, tmp)
+                _, buf, doc_ends, parts = res
+                tmp: List[List[int]] = [[] for _ in range(len(parts))]
+                remap = {orig: j for j, orig in enumerate(dict.fromkeys(parts))}
+                local_parts = [remap[p] for p in parts]
+                self._encode_chunk_fallback(buf, doc_ends, local_parts, tmp)
                 total += sum(len(t) for t in tmp)
-                continue
-            total += int(res[3])
         return total
 
     def decode_bytes_batch(self, token_lists) -> List[bytes]:
@@ -513,9 +598,10 @@ class DeviceEngine:
                 out[i] = data[blo:bhi]
         return [b if b is not None else b"" for b in out]
 
-    def _encode_chunk_fallback(self, buf, valid, doc_ends, parts, out) -> None:
+    def _encode_chunk_fallback(self, buf, doc_ends, parts, out) -> None:
         """Host-glue path (boundaries on device, packing on host) for chunks
         containing pieces larger than the pipeline's biggest bucket."""
+        valid = self._chunk_valid(doc_ends, parts, len(buf))
         used = int(doc_ends[len(parts) - 1])
         bounds = []
         prev = 0

@@ -58,6 +58,92 @@ def pair_lookup(u, v, cuckoo_u, cuckoo_v, cuckoo_id, table_mask):
     return jnp.where(hit2, cuckoo_id[1][s2], out)
 
 
+def pair_lookup_rows(u, v, pair_rows0, pair_rows1, table_mask):
+    """(u, v) -> merged id, or -1 — TWO row gathers instead of six scalar
+    gathers: the cuckoo tables are packed as int32[T, 4] rows (u, v, id, 0),
+    so each probe fetches its full entry in one gather. Gather cost on TPU is
+    per output element, so 2x4-wide rows beat 6 single-column gathers ~2x
+    (measured in scripts/profile_slope.py)."""
+    s1 = _mix(u, v, _H1, table_mask)
+    s2 = _mix(u, v, _H2, table_mask)
+    r1 = jnp.take(pair_rows0, s1, axis=0, mode="clip")
+    r2 = jnp.take(pair_rows1, s2, axis=0, mode="clip")
+    hit1 = (r1[..., 0] == u) & (r1[..., 1] == v)
+    hit2 = (r2[..., 0] == u) & (r2[..., 1] == v)
+    out = jnp.where(hit1, r1[..., 2], -1)
+    return jnp.where(hit2, r2[..., 2], out)
+
+
+def merge_rows_t2(mat_t, lens, byte_to_id, byte_pair_id, pair_rows0,
+                  pair_rows1, table_mask):
+    """Transposed-layout merge with packed cuckoo rows (see merge_rows_t).
+
+    Semantics identical to :func:`merge_rows_t` / the reference merge loop
+    (``M/GptBytePairEncoding.java:200-275``); only the pair-table lookup
+    mechanics differ (2 row gathers per probe site instead of 6 gathers).
+
+    Returns (ids_t int32[W, R], active_t bool[W, R]).
+    """
+    W, R = mat_t.shape
+    subl = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    b = mat_t.astype(jnp.int32)
+
+    active = subl < lens[None, :]
+    ids = jnp.where(active, jnp.take(byte_to_id, b), -1)
+
+    b_next = jnp.concatenate([b[1:, :], jnp.zeros((1, R), jnp.int32)], axis=0)
+    is_pair = subl + 1 < lens[None, :]
+    rank = jnp.where(is_pair, jnp.take(byte_pair_id, b * 256 + b_next), -1)
+    rank = jnp.where(rank < 0, MAX_RANK, rank)
+
+    def lookup(u, v):
+        found = pair_lookup_rows(u, v, pair_rows0, pair_rows1, table_mask)
+        return jnp.where(found < 0, MAX_RANK, found)
+
+    BIG = jnp.int32(W + 1)
+
+    def at_sublane(x, m, fill):
+        return jnp.min(jnp.where(subl == m[None, :], x, fill), axis=0)
+
+    def cond(state):
+        return state[3]
+
+    def body(state):
+        ids, rank, active, _ = state
+        m = jnp.argmin(rank, axis=0).astype(jnp.int32)
+        minval = jnp.min(rank, axis=0)
+        do = minval < MAX_RANK
+
+        after_m = active & (subl > m[None, :])
+        nxt = jnp.min(jnp.where(after_m, subl, BIG), axis=0)
+        prv = jnp.max(jnp.where(active & (subl < m[None, :]), subl, -1), axis=0)
+        nxt2 = jnp.min(jnp.where(active & (subl > nxt[None, :]), subl, BIG), axis=0)
+
+        one_m = subl == m[None, :]
+        one_n = subl == nxt[None, :]
+        do_row = do[None, :]
+        new_ids = jnp.where(one_m & do_row, minval[None, :], ids)
+        new_active = active & ~(one_n & do_row)
+
+        id_m = minval
+        id_prv = at_sublane(ids, prv, MAX_RANK)
+        id_nxt2 = at_sublane(ids, nxt2, MAX_RANK)
+        rank_m = jnp.where(nxt2 <= W, lookup(id_m, id_nxt2), MAX_RANK)
+        rank_prv = jnp.where(prv >= 0, lookup(id_prv, id_m), MAX_RANK)
+
+        one_p = subl == prv[None, :]
+        new_rank = jnp.where(one_m & do_row, rank_m[None, :], rank)
+        new_rank = jnp.where(one_p & do_row, rank_prv[None, :], new_rank)
+        new_rank = jnp.where(one_n & do_row, MAX_RANK, new_rank)
+
+        any_left = jnp.any(jnp.min(new_rank) < MAX_RANK)
+        return new_ids, new_rank, new_active, any_left
+
+    init = (ids, rank, active, jnp.any(jnp.min(rank) < MAX_RANK))
+    ids, rank, active, _ = jax.lax.while_loop(cond, body, init)
+    return ids, active
+
+
 def merge_rows_t(mat_t, lens, byte_to_id, byte_pair_id, cuckoo_u, cuckoo_v,
                  cuckoo_id, table_mask):
     """Transposed-layout merge: pieces along LANES, spans along sublanes.

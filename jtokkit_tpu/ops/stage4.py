@@ -1,0 +1,484 @@
+"""Stage A v4: gather-minimal classify + boundaries + piece table.
+
+Cost model measured on TPU v5e (see scripts/profile_slope.py): elementwise
+VPU ops are ~free, associative scans cost ~1.1 ms per 1M int32, but every
+random gather/scatter costs ~7-9 ns per OUTPUT element regardless of table
+size, and ``searchsorted`` is ~90 ms per 1M queries. The previous stage A
+(``ops/pipeline.stage_a``) spent ~220 ms/MB, almost all of it in positional
+gathers and two searchsorteds. v4 reformulates the same semantics
+(reference hot loop: ``M/GptBytePairEncoding.java:71-103``; pre-split
+patterns ``M/EncodingFactory.java:63,105``) so that per 1 MB chunk there
+remain only FOUR unavoidable gather-class ops:
+
+1. ``nonzero`` compacting the piece-start mask (cumsum+scatter, ~9.5 ms),
+2. ONE packed row gather of all per-piece fields (w0, w1, doc id, doc end),
+3. TWO packed row gathers for the word-table probes (whole-piece hits),
+4. a small ``nonzero`` + stable argsort for the miss list.
+
+Everything else is elementwise or rides THREE fused tuple associative scans
+(two forward, one reverse) whose leaves carry every run-structure quantity
+the boundary rules need — no positional gathers, no searchsorted, and for
+pure-ASCII chunks (host-detected) no codepoint-table gather either: ASCII
+classes are computed arithmetically.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.charclass import CRLF, LETTER, NUMBER, OTHER, PAD, SPACE, WS
+from . import classify as classify_ops
+
+_BOS = -1
+_APO = 0x27
+_ONE_CHAR = (ord("s"), ord("t"), ord("m"), ord("d"))
+_TWO_CHAR = ((ord("r"), ord("e")), (ord("v"), ord("e")), (ord("l"), ord("l")))
+
+_H1 = (0x9E3779B1, 0x85EBCA77, 0x2C1B3C6D)
+_H2 = (0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
+_LEN_MIX = 0x01000193
+
+# overflow bits (meta[0]); the engine retries with the roomier variant on
+# CAPACITY, and takes the host fallback only on PIECE_LEN
+OVERFLOW_CAPACITY = 1   # piece table or miss table too small for this text
+OVERFLOW_PIECE_LEN = 2  # a single piece exceeds the largest merge bucket
+
+BUCKET_WIDTHS = (8, 32, 128, 512, 4096)
+MAX_PIECE_LEN = BUCKET_WIDTHS[-1]
+
+
+def _mix(u, v, consts, mask):
+    a, b, c = (jnp.uint32(x) for x in consts)
+    h = (u.astype(jnp.uint32) * a) ^ (v.astype(jnp.uint32) * b)
+    h = h ^ (h >> 15)
+    h = h * c
+    h = h ^ (h >> 13)
+    return (h & jnp.uint32(mask)).astype(jnp.int32)
+
+
+def _shift_right(x, fill, k: int = 1):
+    return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
+
+
+def _shift_left(x, fill, k: int = 1):
+    return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+
+# ---------------------------------------------------------------------------
+# fused tuple scans
+# ---------------------------------------------------------------------------
+# Per-leaf combines; each is associative, so a single associative_scan over
+# the tuple computes every quantity in shared passes.
+
+def _c_max(a, b):
+    return jnp.maximum(a, b)
+
+
+def _c_add(a, b):
+    return a + b
+
+
+def _c_lastnn(a, b):
+    """Select-scan: the value >= 0 that is LATEST in scan order wins
+    (-1 = unset). In a forward scan this propagates the nearest set value
+    to the left; with ``reverse=True`` (which flips the array before
+    scanning, so ``b`` is the LOWER index) it propagates the nearest set
+    value to the right."""
+    return jnp.where(b >= 0, b, a)
+
+
+def classify_ascii(buf: jnp.ndarray, valid: jnp.ndarray) -> dict:
+    """Arithmetic classifier for pure-ASCII chunks (no table gather).
+
+    ASCII restrictions of the classes in :mod:`jtokkit_tpu.engine.charclass`:
+    letters a-zA-Z, digits 0-9, CR/LF, space, and TAB/VT/FF (the only other
+    ASCII White_Space codepoints). Every byte is its own character.
+    """
+    b = buf.astype(jnp.int32)
+    lower = b | 32
+    is_letter = (lower >= 0x61) & (lower <= 0x7A)
+    is_digit = (b >= 0x30) & (b <= 0x39)
+    is_crlf = (b == 0x0A) | (b == 0x0D)
+    is_space = b == 0x20
+    is_ws = (b == 0x09) | (b == 0x0B) | (b == 0x0C)
+    cls = jnp.where(
+        is_letter,
+        LETTER,
+        jnp.where(
+            is_digit,
+            NUMBER,
+            jnp.where(
+                is_crlf, CRLF, jnp.where(is_space, SPACE, jnp.where(is_ws, WS, OTHER))
+            ),
+        ),
+    )
+    cls = jnp.where(valid, cls, PAD).astype(jnp.int32)
+    return {
+        "cls": cls,
+        "cls_start": cls,
+        "is_start": valid,
+        "char_len": jnp.ones_like(b),
+        "byte": b,
+    }
+
+
+def piece_starts_v4(info: dict, pattern: str, is_sep: jnp.ndarray):
+    """Piece-start mask + per-byte doc structure, gather-free.
+
+    Same boundary semantics as :func:`jtokkit_tpu.ops.boundaries.piece_starts`
+    (itself validated against the reference patterns on the conformance
+    corpus), reformulated so every positional gather becomes a leaf of one of
+    three fused tuple scans.
+
+    Returns (mask bool[n], doc_end_pos int32[n], doc_id int32[n]).
+    """
+    if pattern not in ("gpt2", "cl100k"):
+        raise ValueError(f"unsupported device pattern {pattern!r}")
+    is_cl = pattern == "cl100k"
+
+    cls = info["cls"]
+    start = info["is_start"]
+    byte = info["byte"]
+    n = cls.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    prev_cls = _shift_right(cls, _BOS)
+    s1 = _shift_right(start, False)
+    s2 = _shift_right(s1, False)
+    char_start_pos = jnp.where(
+        start, idx, jnp.where(s1, idx - 1, jnp.where(s2, idx - 2, idx - 3))
+    )
+
+    is_ws = (cls >= WS) & (cls <= SPACE)
+    is_crlf_b = cls == CRLF
+    invalid = cls == PAD
+
+    ws_run_start_b = is_ws & ~_shift_right(is_ws, False)
+    digit_run_start = start & (cls == NUMBER) & (prev_cls != NUMBER)
+
+    # ---- forward scan 1: whole-run prefixes independent of `absorbed` ------
+    #   rsp: position of current ws run's start (cummax of masked idx)
+    #   lnc: last non-CRLF byte position (cl100k CRLF-prefix absorption)
+    #   pro: whether the char before the run start is OTHER (select-scan)
+    #   cord: character ordinal (cumsum of char starts)
+    #   did: document id (cumsum of separators)
+    leaves1 = (
+        jnp.where(ws_run_start_b, idx, -1),
+        jnp.where(~is_crlf_b, idx, -1),
+        jnp.where(ws_run_start_b, (prev_cls == OTHER).astype(jnp.int32), -1),
+        start.astype(jnp.int32),
+        is_sep.astype(jnp.int32),
+    )
+
+    def comb1(a, b):
+        return (
+            _c_max(a[0], b[0]),
+            _c_max(a[1], b[1]),
+            _c_lastnn(a[2], b[2]),
+            _c_add(a[3], b[3]),
+            _c_add(a[4], b[4]),
+        )
+
+    rsp, lnc, pro, cord, did = jax.lax.associative_scan(comb1, leaves1)
+    char_ord = cord - 1
+    # inclusive cumsum of separators = document index at every data byte
+    # (pieces never start on a separator, so its own value is never read)
+    doc_id = did
+
+    if is_cl:
+        in_crlf_prefix = is_crlf_b & (lnc < rsp)
+        absorbed = in_crlf_prefix & (pro == 1)
+        eff_ws = is_ws & ~absorbed
+    else:
+        eff_ws = is_ws
+
+    eff_run_start_b = eff_ws & ~_shift_right(eff_ws, False)
+
+    # ---- forward scan 2: quantities depending on `absorbed` ----------------
+    leaves2 = (
+        jnp.where(eff_run_start_b, idx, -1),
+        jnp.where(is_crlf_b & eff_ws, idx, -1),
+        jnp.where(digit_run_start, char_ord, -1),
+    )
+
+    def comb2(a, b):
+        return (_c_max(a[0], b[0]), _c_max(a[1], b[1]), _c_max(a[2], b[2]))
+
+    ers, lcp, dro = jax.lax.associative_scan(comb2, leaves2)
+
+    # ---- reverse scan 3: values defined at ws run-END bytes + doc ends -----
+    run_end_b = is_ws & ~_shift_left(is_ws, False)
+    next_cls = _shift_left(cls, PAD)
+    leaves3 = (
+        jnp.where(run_end_b, idx, -1),                 # run_end_pos
+        jnp.where(run_end_b, next_cls, -1),            # class after the run
+        jnp.where(run_end_b, lcp + 1, -1),             # last CRLF in run (+1)
+        jnp.where(run_end_b, char_start_pos, -1),      # start of run's last char
+        jnp.where(invalid, idx, -1),                   # next invalid byte (doc end)
+    )
+
+    def comb3(a, b):
+        return tuple(_c_lastnn(x, y) for x, y in zip(a, b))
+
+    rep, nar, lcw1, lcs, die = jax.lax.associative_scan(comb3, leaves3, reverse=True)
+    run_end_pos = rep
+    next_after_run = nar
+    last_crlf_whole = lcw1 - 1
+    last_char_start = lcs
+    doc_end_pos = jnp.where(die >= 0, die, n)
+    # `followed_by_nonws`: the (?!\S) lookahead fails, i.e. a non-whitespace
+    # char follows the run. Shift fill = PAD covers end-of-buffer.
+    followed_by_nonws = (next_after_run != PAD) & (next_after_run >= 0)
+
+    # ---- whitespace piece starts & forward glue -----------------------------
+    if is_cl:
+        crlf_present = last_crlf_whole >= ers
+        sub_start = jnp.where(crlf_present, last_crlf_whole + 1, ers)
+        has_remainder = sub_start <= run_end_pos
+        ws_piece_start = eff_ws & start & (
+            (idx == ers)
+            | (crlf_present & has_remainder & (idx == sub_start))
+            | (followed_by_nonws & has_remainder & (idx == last_char_start)
+               & (idx != sub_start))
+        )
+        glue_ok = jnp.where(
+            next_after_run == LETTER,
+            True,
+            jnp.where(next_after_run == OTHER, byte == 0x20, False),
+        )
+        glue_fwd = (
+            eff_ws & start & followed_by_nonws & has_remainder
+            & (idx == last_char_start) & glue_ok
+        )
+    else:
+        ws_piece_start = is_ws & start & (
+            (idx == rsp)
+            | (followed_by_nonws & (idx == last_char_start) & (idx != rsp))
+        )
+        glue_fwd = (
+            is_ws & start & followed_by_nonws
+            & (idx == last_char_start) & (byte == 0x20)
+        )
+
+    # glued_back[i] = glue_fwd at the previous char's start byte; UTF-8 chars
+    # are <= 4 bytes, so a bounded shift-select replaces the gather.
+    prev_char = _shift_right(char_start_pos, -1)
+    glued_back = jnp.zeros_like(start)
+    for k in (1, 2, 3, 4):
+        glued_back = glued_back | (
+            _shift_right(glue_fwd, False, k) & (prev_char == idx - k)
+        )
+
+    # ---- punctuation runs ---------------------------------------------------
+    other_piece_start = start & (cls == OTHER) & (prev_cls != OTHER) & ~glued_back
+
+    # ---- contractions -------------------------------------------------------
+    b1 = _shift_left(byte, 0)
+    b2 = _shift_left(byte, 0, 2)
+    if is_cl:
+        l1 = jnp.where((b1 >= 65) & (b1 <= 90), b1 + 32, b1)
+        l2 = jnp.where((b2 >= 65) & (b2 <= 90), b2 + 32, b2)
+        one = jnp.zeros_like(start)
+        for c in _ONE_CHAR:
+            one = one | (l1 == c)
+        two = jnp.zeros_like(start)
+        for c1, c2 in _TWO_CHAR:
+            two = two | ((l1 == c1) & (l2 == c2))
+        # U+017F LONG S folds to 's' under Java UNICODE_CASE (UTF-8 C5 BF)
+        long_s = (b1 == 0xC5) & (b2 == 0xBF)
+    else:
+        one = jnp.zeros_like(start)
+        for c in _ONE_CHAR:
+            one = one | (b1 == c)
+        two = jnp.zeros_like(start)
+        for c1, c2 in _TWO_CHAR:
+            two = two | ((b1 == c1) & (b2 == c2))
+        long_s = jnp.zeros_like(start)
+
+    apo_start = (byte == _APO) & other_piece_start
+    contraction2 = apo_start & one
+    contraction3 = apo_start & ~one & (two | long_s)
+    contraction = contraction2 | contraction3
+
+    suppress = _shift_right(contraction, False) | _shift_right(contraction3, False, 2)
+    forced = _shift_right(contraction2, False, 2) | _shift_right(contraction3, False, 3)
+
+    # ---- letter runs --------------------------------------------------------
+    if is_cl:
+        pre_flag = other_piece_start & ~contraction
+        prev_is_prefix = jnp.zeros_like(start)
+        for k in (1, 2, 3, 4):
+            prev_is_prefix = prev_is_prefix | (
+                _shift_right(pre_flag, False, k) & (prev_char == idx - k)
+            )
+        prev_is_prefix = prev_is_prefix & (prev_cls == OTHER)
+        letter_glued = glued_back | prev_is_prefix
+    else:
+        letter_glued = glued_back
+    letter_piece_start = start & (cls == LETTER) & (
+        ((prev_cls != LETTER) & ~letter_glued) | forced
+    )
+
+    # ---- number runs --------------------------------------------------------
+    if is_cl:
+        pos_in_run = char_ord - dro
+        number_piece_start = start & (cls == NUMBER) & (pos_in_run % 3 == 0)
+    else:
+        number_piece_start = start & (cls == NUMBER) & (
+            (prev_cls != NUMBER) & ~glued_back
+        )
+
+    mask = jnp.where(
+        is_ws,
+        ws_piece_start,
+        jnp.where(
+            cls == LETTER,
+            letter_piece_start,
+            jnp.where(cls == NUMBER, number_piece_start, other_piece_start),
+        ),
+    )
+    return mask & ~suppress & start, doc_end_pos, doc_id
+
+
+class PieceTableV4(NamedTuple):
+    """Stage-A v4 output; all device-resident."""
+
+    starts: jnp.ndarray        # int32[P]
+    lens: jnp.ndarray          # int32[P]
+    hit: jnp.ndarray           # int32[P] direct-hit token id or -1
+    doc_of: jnp.ndarray        # int32[P]
+    miss_sorted: jnp.ndarray   # int32[M] piece indices, grouped by bucket
+    group_start: jnp.ndarray   # int32[len(BUCKET_WIDTHS)+1]
+    n_pieces: jnp.ndarray      # int32 scalar
+    bucket_counts: jnp.ndarray  # int32[len(BUCKET_WIDTHS)]
+    overflow: jnp.ndarray      # int32 scalar (bit flags)
+
+
+def stage_a_v4(
+    buf, doc_ends, class_table, pattern,
+    word_rows0, word_rows1, word_mask,
+    *, variant: str, piece_div: int, miss_div: int,
+):
+    """Classify → boundaries → piece table → word-table hits → miss groups.
+
+    Args:
+      buf: uint8[N] chunk bytes (documents joined by separator bytes).
+      doc_ends: int32[D] end position per chunk-document, padded with the
+        used length; separators sit at doc_ends[k] for k < D-1 where
+        doc_ends[k] < doc_ends[D-1]. Validity is derived here — no host
+        valid-mask upload.
+      class_table: int8[0x110000] codepoint classes (unused for "ascii").
+      variant: "ascii" (arithmetic classes) or "unicode" (table gather).
+      piece_div / miss_div: capacity divisors (P = N // piece_div).
+
+    Returns (PieceTableV4, meta int32[7]) with meta =
+    [overflow_bits, n_pieces, bucket_counts x5].
+    """
+    N = buf.shape[0]
+    D = doc_ends.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    P = N // piece_div
+    M = N // miss_div
+
+    used = doc_ends[D - 1]
+    sep_pos = jnp.where(doc_ends[: D - 1] < used, doc_ends[: D - 1], N)
+    is_sep = jnp.zeros((N,), jnp.bool_).at[sep_pos].set(True, mode="drop")
+    valid = (idx < used) & ~is_sep
+
+    if variant == "ascii":
+        info = classify_ascii(buf, valid)
+    else:
+        info = classify_ops.classify_bytes(buf, class_table, valid)
+
+    mask, doc_end_pos, doc_id = piece_starts_v4(info, pattern, is_sep)
+
+    n_pieces = mask.sum().astype(jnp.int32)
+    starts = jnp.nonzero(mask, size=P, fill_value=N)[0].astype(jnp.int32)
+    p_iota = jnp.arange(P, dtype=jnp.int32)
+    piece_valid = p_iota < jnp.minimum(n_pieces, P)
+    start_clip = jnp.minimum(starts, N - 1)
+
+    # per-byte packed fields -> ONE row gather at piece starts
+    b32 = buf.astype(jnp.uint32)
+    ext = jnp.concatenate([b32, jnp.zeros((7,), jnp.uint32)])
+    w0_b = (
+        ext[:N] | (ext[1 : N + 1] << 8) | (ext[2 : N + 2] << 16)
+        | (ext[3 : N + 3] << 24)
+    ).astype(jnp.int32)
+    w1_b = (
+        ext[4 : N + 4] | (ext[5 : N + 5] << 8) | (ext[6 : N + 6] << 16)
+        | (ext[7 : N + 7] << 24)
+    ).astype(jnp.int32)
+    fields = jnp.stack([w0_b, w1_b, doc_id, doc_end_pos], axis=1)  # [N, 4]
+    frow = jnp.take(fields, start_clip, axis=0, mode="clip")       # [P, 4]
+    pw0_raw, pw1_raw, doc_of, dend = (frow[:, k] for k in range(4))
+
+    next_start = jnp.concatenate([starts[1:], jnp.full((1,), N, jnp.int32)])
+    ends = jnp.minimum(next_start, dend)
+    lens = jnp.where(piece_valid, ends - starts, 0).astype(jnp.int32)
+    doc_of = jnp.where(piece_valid, jnp.minimum(doc_of, D - 1), 0)
+
+    overflow = jnp.where(n_pieces > P, OVERFLOW_CAPACITY, 0)
+    overflow = overflow | jnp.where(
+        lens.max(initial=0) > MAX_PIECE_LEN, OVERFLOW_PIECE_LEN, 0
+    )
+
+    # word-table probe: mask the padded words by length, hash, 2 row gathers
+    l0 = (jnp.clip(lens, 0, 4) * 8).astype(jnp.uint32)
+    l1 = (jnp.clip(lens - 4, 0, 4) * 8).astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    m0 = jnp.where(l0 >= 32, full, (jnp.uint32(1) << l0) - 1)
+    m1 = jnp.where(l1 >= 32, full, (jnp.uint32(1) << l1) - 1)
+    pw0 = (pw0_raw.astype(jnp.uint32) & m0).astype(jnp.int32)
+    pw1 = (pw1_raw.astype(jnp.uint32) & m1).astype(jnp.int32)
+
+    short = piece_valid & (lens >= 1) & (lens <= 8)
+    hv = pw1.astype(jnp.uint32) ^ (lens.astype(jnp.uint32) * jnp.uint32(_LEN_MIX))
+    s1 = _mix(pw0, hv, _H1, word_mask)
+    s2 = _mix(pw0, hv, _H2, word_mask)
+
+    def probe(rows, s):
+        r = jnp.take(rows, s, axis=0, mode="clip")  # [P, 4]
+        ok = (
+            (r[:, 0] == pw0) & (r[:, 1] == pw1)
+            & (r[:, 2] >> 20 == lens) & (r[:, 2] >= 0)
+        )
+        return jnp.where(ok, r[:, 2] & 0xFFFFF, -1)
+
+    hit = probe(word_rows0, s1)
+    hit = jnp.where(hit < 0, probe(word_rows1, s2), hit)
+    hit = jnp.where(short, hit, -1)
+
+    # compact misses, grouped by length bucket (stable: stream order kept)
+    miss = piece_valid & (hit < 0)
+    n_miss = miss.sum().astype(jnp.int32)
+    overflow = overflow | jnp.where(n_miss > M, OVERFLOW_CAPACITY, 0)
+    miss_idx = jnp.nonzero(miss, size=M, fill_value=P - 1)[0].astype(jnp.int32)
+    m_valid = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_miss, M)
+    m_len = jnp.where(m_valid, lens[miss_idx], 0)
+    # bucket index by length: elementwise compares (searchsorted is ~90 ms
+    # per 1M queries on this hardware — never use it on big arrays)
+    bucket_of = jnp.zeros_like(m_len)
+    for w in BUCKET_WIDTHS[:-1]:
+        bucket_of = bucket_of + (m_len > w).astype(jnp.int32)
+    bucket_of = jnp.where(m_valid, bucket_of, len(BUCKET_WIDTHS))
+    order = jnp.argsort(bucket_of, stable=True).astype(jnp.int32)
+    miss_sorted = miss_idx[order]
+    bucket_counts = jnp.bincount(
+        jnp.minimum(bucket_of, len(BUCKET_WIDTHS)),
+        length=len(BUCKET_WIDTHS) + 1,
+    ).astype(jnp.int32)[: len(BUCKET_WIDTHS)]
+    group_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bucket_counts).astype(jnp.int32)]
+    )
+
+    meta = jnp.concatenate(
+        [overflow[None], n_pieces[None], bucket_counts]
+    ).astype(jnp.int32)
+    return PieceTableV4(
+        starts, lens, hit, doc_of, miss_sorted, group_start,
+        n_pieces, bucket_counts, overflow,
+    ), meta
