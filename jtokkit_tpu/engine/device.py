@@ -180,9 +180,7 @@ class DeviceEngine:
         self._make_offsets = jax.jit(pipeline.make_offsets)
         self._scatter_hits = jax.jit(pipeline.scatter_hits, static_argnums=(0,))
         self._scatter_bucket = jax.jit(pipeline.scatter_bucket)
-        self._doc_counts = jax.jit(
-            pipeline.doc_token_counts, static_argnums=(3,)
-        )
+        self._doc_counts = jax.jit(stage4.doc_token_counts_v4)
         self._stage_a = _stage_a_fn
         self._merge_bucket_fn = _merge_bucket_fn
 
@@ -378,7 +376,9 @@ class DeviceEngine:
     _CAP_FLOOR = 512
     # pieces of len > prev_width fit at most N/(prev_width+1) times in N
     # bytes; the 8-lane bucket is bounded by the miss table (misses ≥ 2 bytes)
-    _BUCKET_MAX_DIV = {8: 2, 32: 9, 128: 33, 512: 129, 4096: 513}
+    _BUCKET_MAX_DIV = {
+        8: 2, 16: 9, 32: 17, 64: 33, 128: 65, 512: 129, 4096: 513,
+    }
 
     def _bucket_cap(self, n_chunk: int, lanes: int, count: int) -> int:
         max_cap = max(n_chunk // self._BUCKET_MAX_DIV[lanes], 8)
@@ -417,7 +417,7 @@ class DeviceEngine:
         # sync round 1: ONE fetch of all chunk metas
         metas = (
             np.array(jnp.stack([s[5] for s in staged]))
-            if staged else np.zeros((0, 7), np.int32)
+            if staged else np.zeros((0, stage4.META_LEN), np.int32)
         )
 
         # capacity-overflow retries (roomy variant is sufficient for any
@@ -472,7 +472,7 @@ class DeviceEngine:
             else:
                 tokens = None
             doc_counts = self._doc_counts(
-                counts, t.doc_of, t.n_pieces, len(doc_ends)
+                offsets, n_tokens, t.starts, staged[i][7], t.n_pieces
             )
             results.append(("ok", parts, tokens, n_tokens, doc_counts))
         return results

@@ -46,8 +46,13 @@ _LEN_MIX = 0x01000193
 OVERFLOW_CAPACITY = 1   # piece table or miss table too small for this text
 OVERFLOW_PIECE_LEN = 2  # a single piece exceeds the largest merge bucket
 
-BUCKET_WIDTHS = (8, 32, 128, 512, 4096)
+# Finer buckets than the merge-cost-naive (8, 32, ...) split: the merge
+# loop runs up to (width-1) rounds for the longest piece in a bucket, so
+# isolating 9-16-byte misses (the common case) from the 17-32 tail roughly
+# halves the dominant bucket's round count.
+BUCKET_WIDTHS = (8, 16, 32, 64, 128, 512, 4096)
 MAX_PIECE_LEN = BUCKET_WIDTHS[-1]
+META_LEN = 2 + len(BUCKET_WIDTHS)
 
 
 def _mix(u, v, consts, mask):
@@ -125,15 +130,17 @@ def classify_ascii(buf: jnp.ndarray, valid: jnp.ndarray) -> dict:
     }
 
 
-def piece_starts_v4(info: dict, pattern: str, is_sep: jnp.ndarray):
-    """Piece-start mask + per-byte doc structure, gather-free.
+def piece_starts_v4(info: dict, pattern: str, *, ascii_chars: bool = False):
+    """Piece-start mask + per-byte doc-end positions, gather-free.
 
     Same boundary semantics as :func:`jtokkit_tpu.ops.boundaries.piece_starts`
     (itself validated against the reference patterns on the conformance
     corpus), reformulated so every positional gather becomes a leaf of one of
-    three fused tuple scans.
+    three fused tuple scans. Scan cost is proportional to total leaf width,
+    so leaves sharing a mask are bit-packed and ``ascii_chars=True`` (every
+    char is one byte) drops the char-ordinal and last-char-start leaves.
 
-    Returns (mask bool[n], doc_end_pos int32[n], doc_id int32[n]).
+    Returns (mask bool[n], doc_end_pos int32[n]).
     """
     if pattern not in ("gpt2", "cl100k"):
         raise ValueError(f"unsupported device pattern {pattern!r}")
@@ -146,11 +153,14 @@ def piece_starts_v4(info: dict, pattern: str, is_sep: jnp.ndarray):
     idx = jnp.arange(n, dtype=jnp.int32)
 
     prev_cls = _shift_right(cls, _BOS)
-    s1 = _shift_right(start, False)
-    s2 = _shift_right(s1, False)
-    char_start_pos = jnp.where(
-        start, idx, jnp.where(s1, idx - 1, jnp.where(s2, idx - 2, idx - 3))
-    )
+    if ascii_chars:
+        char_start_pos = idx
+    else:
+        s1 = _shift_right(start, False)
+        s2 = _shift_right(s1, False)
+        char_start_pos = jnp.where(
+            start, idx, jnp.where(s1, idx - 1, jnp.where(s2, idx - 2, idx - 3))
+        )
 
     is_ws = (cls >= WS) & (cls <= SPACE)
     is_crlf_b = cls == CRLF
@@ -160,33 +170,43 @@ def piece_starts_v4(info: dict, pattern: str, is_sep: jnp.ndarray):
     digit_run_start = start & (cls == NUMBER) & (prev_cls != NUMBER)
 
     # ---- forward scan 1: whole-run prefixes independent of `absorbed` ------
-    #   rsp: position of current ws run's start (cummax of masked idx)
+    #   rsp+pro (packed, same mask): ws run-start position << 1 | whether the
+    #     char before the run is OTHER — max picks the latest run start and
+    #     carries its flag bit
     #   lnc: last non-CRLF byte position (cl100k CRLF-prefix absorption)
-    #   pro: whether the char before the run start is OTHER (select-scan)
-    #   cord: character ordinal (cumsum of char starts)
-    #   did: document id (cumsum of separators)
-    leaves1 = (
-        jnp.where(ws_run_start_b, idx, -1),
-        jnp.where(~is_crlf_b, idx, -1),
-        jnp.where(ws_run_start_b, (prev_cls == OTHER).astype(jnp.int32), -1),
-        start.astype(jnp.int32),
-        is_sep.astype(jnp.int32),
+    #   cord: character ordinal (cumsum; only needed for multibyte digits)
+    #   dro: digit-run start (in char ords, or byte idx when ascii)
+    rsp_pro_leaf = jnp.where(
+        ws_run_start_b,
+        idx * 2 + (prev_cls == OTHER).astype(jnp.int32),
+        -1,
     )
+    leaves1 = [rsp_pro_leaf]
+    combines1 = [_c_max]
+    if is_cl:
+        leaves1.append(jnp.where(~is_crlf_b, idx, -1))
+        combines1.append(_c_max)
+    if is_cl and not ascii_chars:
+        leaves1.append(start.astype(jnp.int32))
+        combines1.append(_c_add)
+    if is_cl and ascii_chars:
+        # 1 byte per char: digit-run position arithmetic works on byte idx
+        leaves1.append(jnp.where(digit_run_start, idx, -1))
+        combines1.append(_c_max)
 
     def comb1(a, b):
-        return (
-            _c_max(a[0], b[0]),
-            _c_max(a[1], b[1]),
-            _c_lastnn(a[2], b[2]),
-            _c_add(a[3], b[3]),
-            _c_add(a[4], b[4]),
-        )
+        return tuple(c(x, y) for c, x, y in zip(combines1, a, b))
 
-    rsp, lnc, pro, cord, did = jax.lax.associative_scan(comb1, leaves1)
-    char_ord = cord - 1
-    # inclusive cumsum of separators = document index at every data byte
-    # (pieces never start on a separator, so its own value is never read)
-    doc_id = did
+    out1 = jax.lax.associative_scan(comb1, tuple(leaves1))
+    rsp_pro = out1[0]
+    rsp = rsp_pro >> 1
+    pro = rsp_pro & 1
+    if is_cl:
+        lnc = out1[1]
+    if is_cl and not ascii_chars:
+        char_ord = out1[2] - 1
+    if is_cl and ascii_chars:
+        dro = out1[2]
 
     if is_cl:
         in_crlf_prefix = is_crlf_b & (lnc < rsp)
@@ -197,38 +217,50 @@ def piece_starts_v4(info: dict, pattern: str, is_sep: jnp.ndarray):
 
     eff_run_start_b = eff_ws & ~_shift_right(eff_ws, False)
 
-    # ---- forward scan 2: quantities depending on `absorbed` ----------------
-    leaves2 = (
-        jnp.where(eff_run_start_b, idx, -1),
-        jnp.where(is_crlf_b & eff_ws, idx, -1),
-        jnp.where(digit_run_start, char_ord, -1),
-    )
+    # ---- forward scan 2 (cl100k only): quantities depending on `absorbed` --
+    if is_cl:
+        leaves2 = [
+            jnp.where(eff_run_start_b, idx, -1),
+            jnp.where(is_crlf_b & eff_ws, idx, -1),
+        ]
+        if not ascii_chars:
+            leaves2.append(jnp.where(digit_run_start, char_ord, -1))
 
-    def comb2(a, b):
-        return (_c_max(a[0], b[0]), _c_max(a[1], b[1]), _c_max(a[2], b[2]))
+        def comb2(a, b):
+            return tuple(_c_max(x, y) for x, y in zip(a, b))
 
-    ers, lcp, dro = jax.lax.associative_scan(comb2, leaves2)
+        out2 = jax.lax.associative_scan(comb2, tuple(leaves2))
+        ers, lcp = out2[0], out2[1]
+        if not ascii_chars:
+            dro = out2[2]
+    else:
+        ers = rsp
+        lcp = jnp.full_like(idx, -1)
 
     # ---- reverse scan 3: values defined at ws run-END bytes + doc ends -----
     run_end_b = is_ws & ~_shift_left(is_ws, False)
     next_cls = _shift_left(cls, PAD)
-    leaves3 = (
-        jnp.where(run_end_b, idx, -1),                 # run_end_pos
-        jnp.where(run_end_b, next_cls, -1),            # class after the run
-        jnp.where(run_end_b, lcp + 1, -1),             # last CRLF in run (+1)
-        jnp.where(run_end_b, char_start_pos, -1),      # start of run's last char
-        jnp.where(invalid, idx, -1),                   # next invalid byte (doc end)
-    )
+    # rep+nar share the run-end mask: pack (run_end_pos << 3 | next class)
+    rep_nar_leaf = jnp.where(run_end_b, idx * 8 + next_cls, -1)
+    leaves3 = [rep_nar_leaf, jnp.where(invalid, idx, -1)]
+    if is_cl:
+        leaves3.append(jnp.where(run_end_b, lcp + 1, -1))
+    if not ascii_chars:
+        leaves3.append(jnp.where(run_end_b, char_start_pos, -1))
 
     def comb3(a, b):
         return tuple(_c_lastnn(x, y) for x, y in zip(a, b))
 
-    rep, nar, lcw1, lcs, die = jax.lax.associative_scan(comb3, leaves3, reverse=True)
-    run_end_pos = rep
-    next_after_run = nar
-    last_crlf_whole = lcw1 - 1
-    last_char_start = lcs
+    out3 = jax.lax.associative_scan(comb3, tuple(leaves3), reverse=True)
+    rep_nar, die = out3[0], out3[1]
+    run_end_pos = rep_nar >> 3
+    next_after_run = jnp.where(rep_nar >= 0, rep_nar & 7, -1)
+    if is_cl:
+        last_crlf_whole = out3[2] - 1
+    last_char_start = run_end_pos if ascii_chars else out3[-1]
     doc_end_pos = jnp.where(die >= 0, die, n)
+    if is_cl and ascii_chars:
+        char_ord = idx  # only differences are used, within single-byte runs
     # `followed_by_nonws`: the (?!\S) lookahead fails, i.e. a non-whitespace
     # char follows the run. Shift fill = PAD covers end-of-buffer.
     followed_by_nonws = (next_after_run != PAD) & (next_after_run >= 0)
@@ -340,7 +372,7 @@ def piece_starts_v4(info: dict, pattern: str, is_sep: jnp.ndarray):
             jnp.where(cls == NUMBER, number_piece_start, other_piece_start),
         ),
     )
-    return mask & ~suppress & start, doc_end_pos, doc_id
+    return mask & ~suppress & start, doc_end_pos
 
 
 class PieceTableV4(NamedTuple):
@@ -349,12 +381,34 @@ class PieceTableV4(NamedTuple):
     starts: jnp.ndarray        # int32[P]
     lens: jnp.ndarray          # int32[P]
     hit: jnp.ndarray           # int32[P] direct-hit token id or -1
-    doc_of: jnp.ndarray        # int32[P]
     miss_sorted: jnp.ndarray   # int32[M] piece indices, grouped by bucket
     group_start: jnp.ndarray   # int32[len(BUCKET_WIDTHS)+1]
     n_pieces: jnp.ndarray      # int32 scalar
     bucket_counts: jnp.ndarray  # int32[len(BUCKET_WIDTHS)]
     overflow: jnp.ndarray      # int32 scalar (bit flags)
+
+
+def doc_token_counts_v4(offsets, n_tokens, starts, doc_ends, n_pieces):
+    """Per-document token counts from the piece-count prefix sums.
+
+    Pieces are in stream order, so document k owns the contiguous piece
+    range [searchsorted(starts, begin_k), searchsorted(starts, begin_{k+1})).
+    Binary search runs over D (tiny) queries, NOT per byte or per piece —
+    a per-byte doc-id scan leaf and a per-piece scatter-add both cost more.
+    """
+    D = doc_ends.shape[0]
+    P = starts.shape[0]
+    # doc k begins one past the previous doc's end (the separator byte)
+    begins = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), doc_ends[: D - 1] + 1]
+    )
+    del n_tokens
+    first_piece = jnp.searchsorted(starts, begins, side="left").astype(jnp.int32)
+    first_piece = jnp.minimum(first_piece, jnp.minimum(n_pieces, P))
+    bound = jnp.concatenate(
+        [first_piece[1:], jnp.minimum(n_pieces, P)[None]]
+    )
+    return jnp.maximum(offsets[bound] - offsets[first_piece], 0)
 
 
 def stage_a_v4(
@@ -393,7 +447,9 @@ def stage_a_v4(
     else:
         info = classify_ops.classify_bytes(buf, class_table, valid)
 
-    mask, doc_end_pos, doc_id = piece_starts_v4(info, pattern, is_sep)
+    mask, doc_end_pos = piece_starts_v4(
+        info, pattern, ascii_chars=(variant == "ascii")
+    )
 
     n_pieces = mask.sum().astype(jnp.int32)
     starts = jnp.nonzero(mask, size=P, fill_value=N)[0].astype(jnp.int32)
@@ -412,14 +468,15 @@ def stage_a_v4(
         ext[4 : N + 4] | (ext[5 : N + 5] << 8) | (ext[6 : N + 6] << 16)
         | (ext[7 : N + 7] << 24)
     ).astype(jnp.int32)
-    fields = jnp.stack([w0_b, w1_b, doc_id, doc_end_pos], axis=1)  # [N, 4]
+    fields = jnp.stack(
+        [w0_b, w1_b, doc_end_pos, jnp.zeros_like(w0_b)], axis=1
+    )  # [N, 4]
     frow = jnp.take(fields, start_clip, axis=0, mode="clip")       # [P, 4]
-    pw0_raw, pw1_raw, doc_of, dend = (frow[:, k] for k in range(4))
+    pw0_raw, pw1_raw, dend = frow[:, 0], frow[:, 1], frow[:, 2]
 
     next_start = jnp.concatenate([starts[1:], jnp.full((1,), N, jnp.int32)])
     ends = jnp.minimum(next_start, dend)
     lens = jnp.where(piece_valid, ends - starts, 0).astype(jnp.int32)
-    doc_of = jnp.where(piece_valid, jnp.minimum(doc_of, D - 1), 0)
 
     overflow = jnp.where(n_pieces > P, OVERFLOW_CAPACITY, 0)
     overflow = overflow | jnp.where(
@@ -479,6 +536,6 @@ def stage_a_v4(
         [overflow[None], n_pieces[None], bucket_counts]
     ).astype(jnp.int32)
     return PieceTableV4(
-        starts, lens, hit, doc_of, miss_sorted, group_start,
+        starts, lens, hit, miss_sorted, group_start,
         n_pieces, bucket_counts, overflow,
     ), meta
