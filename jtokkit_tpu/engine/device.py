@@ -56,10 +56,12 @@ _FLAT_SIZES = tuple(
 _DOC_SIZES = (64, 1024, 16384, 262144)
 
 # (piece_div, miss_div) variants: the primary sizing covers natural text
-# (~0.21 pieces/byte for English, ~0.03 misses/byte); the roomy sizing is
-# provably sufficient for ANY input (every piece is >= 1 byte; every miss
-# is >= 2 bytes) and is used only on capacity-overflow retry.
-_DIVS_PRIMARY = (4, 8)
+# (~0.21 pieces/byte for English, ~0.007 word-table misses/byte); the roomy
+# sizing is provably sufficient for ANY input (every piece is >= 1 byte;
+# every miss is >= 2 bytes) and is used only on capacity-overflow retry.
+# Miss-list compaction/argsort costs scale with the STATIC capacity, so it
+# stays tight and the retry absorbs unusual texts.
+_DIVS_PRIMARY = (4, 32)
 _DIVS_ROOMY = (1, 2)
 
 

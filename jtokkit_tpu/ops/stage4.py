@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..engine.charclass import CRLF, LETTER, NUMBER, OTHER, PAD, SPACE, WS
 from . import classify as classify_ops
+from . import pallas_scan
 
 _BOS = -1
 _APO = 0x27
@@ -182,22 +183,19 @@ def piece_starts_v4(info: dict, pattern: str, *, ascii_chars: bool = False):
         -1,
     )
     leaves1 = [rsp_pro_leaf]
-    combines1 = [_c_max]
+    kinds1 = ["max"]
     if is_cl:
         leaves1.append(jnp.where(~is_crlf_b, idx, -1))
-        combines1.append(_c_max)
+        kinds1.append("max")
     if is_cl and not ascii_chars:
         leaves1.append(start.astype(jnp.int32))
-        combines1.append(_c_add)
+        kinds1.append("add")
     if is_cl and ascii_chars:
         # 1 byte per char: digit-run position arithmetic works on byte idx
         leaves1.append(jnp.where(digit_run_start, idx, -1))
-        combines1.append(_c_max)
+        kinds1.append("max")
 
-    def comb1(a, b):
-        return tuple(c(x, y) for c, x, y in zip(combines1, a, b))
-
-    out1 = jax.lax.associative_scan(comb1, tuple(leaves1))
+    out1 = pallas_scan.scan_leaves(leaves1, kinds1)
     rsp_pro = out1[0]
     rsp = rsp_pro >> 1
     pro = rsp_pro & 1
@@ -226,10 +224,7 @@ def piece_starts_v4(info: dict, pattern: str, *, ascii_chars: bool = False):
         if not ascii_chars:
             leaves2.append(jnp.where(digit_run_start, char_ord, -1))
 
-        def comb2(a, b):
-            return tuple(_c_max(x, y) for x, y in zip(a, b))
-
-        out2 = jax.lax.associative_scan(comb2, tuple(leaves2))
+        out2 = pallas_scan.scan_leaves(leaves2, ["max"] * len(leaves2))
         ers, lcp = out2[0], out2[1]
         if not ascii_chars:
             dro = out2[2]
@@ -248,10 +243,9 @@ def piece_starts_v4(info: dict, pattern: str, *, ascii_chars: bool = False):
     if not ascii_chars:
         leaves3.append(jnp.where(run_end_b, char_start_pos, -1))
 
-    def comb3(a, b):
-        return tuple(_c_lastnn(x, y) for x, y in zip(a, b))
-
-    out3 = jax.lax.associative_scan(comb3, tuple(leaves3), reverse=True)
+    out3 = pallas_scan.scan_leaves(
+        leaves3, ["last"] * len(leaves3), reverse=True
+    )
     rep_nar, die = out3[0], out3[1]
     run_end_pos = rep_nar >> 3
     next_after_run = jnp.where(rep_nar >= 0, rep_nar & 7, -1)
