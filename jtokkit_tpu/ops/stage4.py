@@ -8,18 +8,20 @@ size, and ``searchsorted`` is ~90 ms per 1M queries. The previous stage A
 gathers and two searchsorteds. v4 reformulates the same semantics
 (reference hot loop: ``M/GptBytePairEncoding.java:71-103``; pre-split
 patterns ``M/EncodingFactory.java:63,105``) so that per 1 MB chunk there
-remain only FOUR unavoidable gather-class ops:
+remain only a few unavoidable gather-class ops:
 
-1. ``nonzero`` compacting the piece-start mask (cumsum+scatter, ~9.5 ms),
-2. ONE packed row gather of all per-piece fields (w0, w1, doc id, doc end),
+1. mask compaction via :func:`masked_positions` (lane sort + scan repack,
+   ~4.5 ms — replaces ``jnp.nonzero``'s ~10.5 ms cumsum+scatter lowering),
+2. ONE packed row gather of all per-piece fields (w0, w1, doc end),
 3. TWO packed row gathers for the word-table probes (whole-piece hits),
-4. a small ``nonzero`` + stable argsort for the miss list.
+4. a small compaction + stable argsort for the miss list.
 
-Everything else is elementwise or rides THREE fused tuple associative scans
-(two forward, one reverse) whose leaves carry every run-structure quantity
-the boundary rules need — no positional gathers, no searchsorted, and for
-pure-ASCII chunks (host-detected) no codepoint-table gather either: ASCII
-classes are computed arithmetically.
+Everything else is elementwise or rides THREE fused tuple scans (two
+forward, one reverse; the Pallas block-carry kernel in
+:mod:`jtokkit_tpu.ops.pallas_scan` on TPU backends) whose leaves carry
+every run-structure quantity the boundary rules need — no positional
+gathers, no searchsorted, and for pure-ASCII chunks (host-detected) no
+codepoint-table gather either: ASCII classes are computed arithmetically.
 """
 
 from __future__ import annotations
@@ -369,6 +371,49 @@ def piece_starts_v4(info: dict, pattern: str, *, ascii_chars: bool = False):
     return mask & ~suppress & start, doc_end_pos
 
 
+def masked_positions(mask, size: int, fill):
+    """Ascending indices of True positions, padded with ``fill``.
+
+    A drop-in replacement for ``jnp.nonzero(mask, size=size,
+    fill_value=fill)[0]`` that avoids XLA's cumsum+scatter lowering
+    (~10.5 ms per 1M mask bits on v5e). Measured costs of the pieces here:
+    a 128-lane row sort is ~free, the scatter is Nr-sized (tiny), the
+    cummax rides the Pallas scan kernel, and ONE gather over `size`
+    elements stitches the rows — ~4.5 ms total at N=1M, size=N/4.
+
+    How: compact each [128]-lane row by sorting (True positions carry their
+    index, False carry N = sorts to the tail), then map every output slot p
+    to its owning row r (the largest r with rowstart[r] <= p, propagated by
+    a cummax over scattered row marks) and read rowdata[r, p - rowstart[r]].
+    """
+    N = mask.shape[0]
+    n_rows = N // 128
+    if N % 128 or n_rows < 8:
+        return jnp.nonzero(mask, size=size, fill_value=fill)[0].astype(jnp.int32)
+    m2 = mask.reshape(n_rows, 128)
+    idx2 = jnp.arange(N, dtype=jnp.int32).reshape(n_rows, 128)
+    rowdata = jnp.sort(jnp.where(m2, idx2, jnp.int32(N)), axis=1).reshape(-1)
+    rowcount = m2.sum(axis=1).astype(jnp.int32)
+    incl = jnp.cumsum(rowcount).astype(jnp.int32)  # tiny (n_rows)
+    rowstart = incl - rowcount
+    total = incl[n_rows - 1]
+
+    r_iota = jnp.arange(n_rows, dtype=jnp.int32)
+    marks_row = jnp.full((size,), -1, jnp.int32).at[rowstart].max(
+        r_iota, mode="drop"
+    )
+    marks_off = jnp.full((size,), -1, jnp.int32).at[rowstart].max(
+        rowstart, mode="drop"
+    )
+    row_of, off_of = pallas_scan.scan_leaves(
+        [marks_row, marks_off], ["max", "max"]
+    )
+    p = jnp.arange(size, dtype=jnp.int32)
+    flat_idx = jnp.clip(row_of * 128 + (p - off_of), 0, N - 1)
+    out = jnp.take(rowdata, flat_idx, mode="clip")
+    return jnp.where(p < total, out, jnp.int32(fill))
+
+
 class PieceTableV4(NamedTuple):
     """Stage-A v4 output; all device-resident."""
 
@@ -446,7 +491,7 @@ def stage_a_v4(
     )
 
     n_pieces = mask.sum().astype(jnp.int32)
-    starts = jnp.nonzero(mask, size=P, fill_value=N)[0].astype(jnp.int32)
+    starts = masked_positions(mask, P, N)
     p_iota = jnp.arange(P, dtype=jnp.int32)
     piece_valid = p_iota < jnp.minimum(n_pieces, P)
     start_clip = jnp.minimum(starts, N - 1)
@@ -507,7 +552,7 @@ def stage_a_v4(
     miss = piece_valid & (hit < 0)
     n_miss = miss.sum().astype(jnp.int32)
     overflow = overflow | jnp.where(n_miss > M, OVERFLOW_CAPACITY, 0)
-    miss_idx = jnp.nonzero(miss, size=M, fill_value=P - 1)[0].astype(jnp.int32)
+    miss_idx = masked_positions(miss, M, P - 1)
     m_valid = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_miss, M)
     m_len = jnp.where(m_valid, lens[miss_idx], 0)
     # bucket index by length: elementwise compares (searchsorted is ~90 ms

@@ -64,3 +64,22 @@ def test_fallback_on_untileable_length():
     got = pallas_scan.scan_leaves([x], ["max"], enabled=True)
     want = _reference([x], ["max"], False)
     np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+
+
+@pytest.mark.parametrize("n,size,density", [
+    (131072, 32768, 0.2),
+    (131072, 4096, 0.01),
+    (1024, 512, 0.9),
+    (1000, 300, 0.5),   # untileable length -> nonzero fallback
+    (8192, 8192, 0.0),  # empty mask
+])
+def test_masked_positions_matches_nonzero(n, size, density):
+    import jax.numpy as jnp
+
+    from jtokkit_tpu.ops import stage4
+
+    rng = np.random.default_rng(n + size)
+    m = jnp.asarray(rng.random(n) < density)
+    got = np.asarray(stage4.masked_positions(m, size, n))
+    want = np.asarray(jnp.nonzero(m, size=size, fill_value=n)[0])
+    np.testing.assert_array_equal(got, want)
