@@ -62,6 +62,10 @@ _DOC_SIZES = (64, 1024, 16384, 262144)
 # Miss-list compaction/argsort costs scale with the STATIC capacity, so it
 # stays tight and the retry absorbs unusual texts.
 _DIVS_PRIMARY = (4, 32)
+# non-ASCII chunks miss the (<=8-byte) word table far more often — CJK
+# letter runs are ALL misses — so their primary miss table is roomier to
+# avoid systematic capacity retries
+_DIVS_PRIMARY_UNICODE = (4, 8)
 _DIVS_ROOMY = (1, 2)
 
 
@@ -410,7 +414,8 @@ class DeviceEngine:
         staged = []
         for buf, doc_ends, parts, ascii_only, buf_dev, doc_ends_dev in plan:
             variant = "ascii" if ascii_only else "unicode"
-            table, meta = self._stage_a(variant, _DIVS_PRIMARY)(
+            divs = _DIVS_PRIMARY if ascii_only else _DIVS_PRIMARY_UNICODE
+            table, meta = self._stage_a(variant, divs)(
                 buf_dev, doc_ends_dev
             )
             staged.append([buf, doc_ends, parts, variant, table, meta,
