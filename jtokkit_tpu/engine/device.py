@@ -203,6 +203,24 @@ class DeviceEngine:
         self._boundary_fn = _boundary_fn
         self._merge_fn = _merge_fn
         self._decode_fn = _decode_fn
+        self._native = None
+        self._native_tried = False
+
+    def _native_engine(self):
+        """Lazy optional native host engine (long-piece chunk routing).
+
+        Disable with JTOKKIT_TPU_NATIVE_LONG=0; silently absent when the
+        toolchain/library is unavailable (the device path handles those
+        chunks itself, just slower)."""
+        if not self._native_tried:
+            self._native_tried = True
+            if os.environ.get("JTOKKIT_TPU_NATIVE_LONG", "1") != "0":
+                try:
+                    from ..native import NativeEngine
+                    self._native = NativeEngine(self.packed, self.pattern)
+                except Exception:
+                    self._native = None
+        return self._native
 
     @classmethod
     def from_oracle(cls, oracle: OracleEngine) -> "DeviceEngine":
@@ -443,6 +461,13 @@ class DeviceEngine:
             for k, i in enumerate(retried):
                 metas[i] = re_metas[k]
 
+        # device merge rounds scale with the longest piece in a bucket, so a
+        # chunk dominated by >64-byte pieces (CJK letter runs) is faster on
+        # the native host engine (O(m log m) heap merge) than on the device
+        long_buckets = [
+            b for b, w in enumerate(stage4.BUCKET_WIDTHS) if w > 64
+        ]
+
         results = []
         for i, (buf, doc_ends, parts, variant, t, _meta, buf_dev,
                 _de_dev) in enumerate(staged):
@@ -452,6 +477,10 @@ class DeviceEngine:
                 overflow & stage4.OVERFLOW_CAPACITY
             ):
                 results.append(("fallback", buf, doc_ends, parts))
+                continue
+            long_cnt = int(sum(bucket_counts[b] for b in long_buckets))
+            if long_cnt > 128 and self._native_engine() is not None:
+                results.append(("native", buf, doc_ends, parts))
                 continue
             N = len(buf)
             counts = self._counts_init(t.hit, t.n_pieces)
@@ -504,6 +533,10 @@ class DeviceEngine:
         pos = 0
         k = 0
         for res in results:
+            if res[0] == "native":
+                _, buf, doc_ends, parts = res
+                self._encode_chunk_native(buf, doc_ends, parts, out)
+                continue
             if res[0] == "fallback":
                 _, buf, doc_ends, parts = res
                 self._encode_chunk_fallback(buf, doc_ends, parts, out)
@@ -532,10 +565,13 @@ class DeviceEngine:
             small = np.asarray(jnp.concatenate([r[4] for r in ok]))
         pos = 0
         for res in results:
-            if res[0] == "fallback":
+            if res[0] in ("fallback", "native"):
                 _, buf, doc_ends, parts = res
                 tmp: List[List[int]] = [[] for _ in texts]
-                self._encode_chunk_fallback(buf, doc_ends, parts, tmp)
+                if res[0] == "native":
+                    self._encode_chunk_native(buf, doc_ends, parts, tmp)
+                else:
+                    self._encode_chunk_fallback(buf, doc_ends, parts, tmp)
                 for i, toks in enumerate(tmp):
                     counts[i] += len(toks)
                 continue
@@ -555,12 +591,15 @@ class DeviceEngine:
         if ok:
             total += int(np.asarray(sum(jnp.asarray(r[3]) for r in ok)))
         for res in results:
-            if res[0] == "fallback":
+            if res[0] in ("fallback", "native"):
                 _, buf, doc_ends, parts = res
                 tmp: List[List[int]] = [[] for _ in range(len(parts))]
                 remap = {orig: j for j, orig in enumerate(dict.fromkeys(parts))}
                 local_parts = [remap[p] for p in parts]
-                self._encode_chunk_fallback(buf, doc_ends, local_parts, tmp)
+                if res[0] == "native":
+                    self._encode_chunk_native(buf, doc_ends, local_parts, tmp)
+                else:
+                    self._encode_chunk_fallback(buf, doc_ends, local_parts, tmp)
                 total += sum(len(t) for t in tmp)
         return total
 
@@ -604,6 +643,18 @@ class DeviceEngine:
                 bhi = 0 if hi == 0 else int(byte_ends[hi - 1])
                 out[i] = data[blo:bhi]
         return [b if b is not None else b"" for b in out]
+
+    def _encode_chunk_native(self, buf, doc_ends, parts, out) -> None:
+        """Encode one chunk's documents on the native host engine (exact;
+        differential-tested against the oracle in tests/test_native.py)."""
+        nat = self._native_engine()
+        prev = 0
+        for k, doc_idx in enumerate(parts):
+            end = int(doc_ends[k])
+            start = prev if k == 0 else prev + 1
+            if end > start:
+                out[doc_idx].extend(nat.encode_bytes(buf[start:end]).tolist())
+            prev = end
 
     def _encode_chunk_fallback(self, buf, doc_ends, parts, out) -> None:
         """Host-glue path (boundaries on device, packing on host) for chunks

@@ -137,6 +137,27 @@ class NativeEngine:
             raise RuntimeError("native engine not initialized")
         return out[:m]
 
+    def encode_bytes(self, data) -> np.ndarray:
+        """Encode a UTF-8 byte buffer (bytes or uint8 ndarray) directly —
+        no str round-trip; used by the device engine's long-piece routing."""
+        if len(data) == 0:
+            return np.zeros(0, dtype=np.int32)
+        buf = np.ascontiguousarray(
+            np.frombuffer(data, dtype=np.uint8)
+            if isinstance(data, (bytes, bytearray, memoryview)) else data
+        )
+        out = np.empty(len(buf), dtype=np.int32)
+        m = self._lib.jt_encode(
+            ctypes.c_int32(self._handle),
+            buf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(buf)),
+            ctypes.c_int32(self._pattern_code),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if m < 0:
+            raise RuntimeError("native engine not initialized")
+        return out[:m]
+
     def _encode_raw(self, text: str):
         data = text.encode("utf-8")
         if not data:

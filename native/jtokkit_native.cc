@@ -15,8 +15,10 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libjtokkit_native.so jtokkit_native.cc
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <vector>
 
 namespace {
@@ -253,6 +255,63 @@ static void split_cl100k(const Tables& t, const uint8_t* p, int n,
 
 struct Part { int32_t index; int32_t rank; };
 
+// Long-piece merge: doubly-linked span list + lazy min-heap keyed on
+// (rank, leftmost boundary). Exactly the reference's min-rank order — the
+// heap pops the lowest rank, leftmost first on ties, and stale entries
+// (whose boundary's pair changed or vanished) are skipped; a re-executed
+// boundary can never reproduce a previous rank because ranks are token ids
+// and the merged span strictly grows. O(m log m) instead of the scan
+// loop's O(m^2), which dominates CJK-style 100-600 byte letter-run pieces.
+static int merge_piece_heap(const Tables& t, const uint8_t* p, int n,
+                            int32_t* out) {
+  thread_local std::vector<int32_t> nxt, prv, ids, cur;
+  nxt.resize(n + 1); prv.resize(n + 1); ids.resize(n); cur.resize(n + 1);
+  for (int b = 0; b <= n; b++) { nxt[b] = b + 1; prv[b] = b - 1; }
+  for (int b = 0; b < n; b++) ids[b] = t.byte_to_id[p[b]];
+  // min-heap of (rank, boundary) packed into one int64: rank<<32 | b
+  thread_local std::vector<int64_t> heap;
+  heap.clear();
+  auto push = [&](int32_t rank, int32_t b) {
+    heap.push_back(((int64_t)rank << 32) | (uint32_t)b);
+    std::push_heap(heap.begin(), heap.end(), std::greater<int64_t>());
+  };
+  for (int b = 0; b + 1 < n; b++) {
+    int32_t r = t.byte_pair[p[b] * 256 + p[b + 1]];
+    cur[b] = (r < 0) ? kMaxRank : r;
+    if (cur[b] != kMaxRank) push(cur[b], b);
+  }
+  cur[n - 1] = kMaxRank;
+  cur[n] = kMaxRank;
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), std::greater<int64_t>());
+    int64_t e = heap.back(); heap.pop_back();
+    int32_t r = (int32_t)(e >> 32);
+    int32_t b = (int32_t)(e & 0xFFFFFFFF);
+    if (cur[b] != r) continue;  // stale: pair changed or span removed
+    int32_t j = nxt[b];          // right span's boundary
+    ids[b] = r;                  // left span takes the merged id
+    int32_t k = nxt[j];          // boundary after the absorbed span
+    nxt[b] = k; if (k <= n) prv[k] = b;
+    cur[j] = kMaxRank;           // j is gone; its heap entries go stale
+    if (k < n) {
+      int32_t r2 = pair_lookup(t, ids[b], ids[k]);
+      cur[b] = (r2 < 0) ? kMaxRank : r2;
+      if (cur[b] != kMaxRank) push(cur[b], b);
+    } else {
+      cur[b] = kMaxRank;
+    }
+    int32_t pi = prv[b];
+    if (pi >= 0) {
+      int32_t r3 = pair_lookup(t, ids[pi], ids[b]);
+      cur[pi] = (r3 < 0) ? kMaxRank : r3;
+      if (cur[pi] != kMaxRank) push(cur[pi], pi);
+    }
+  }
+  int m = 0;
+  for (int b = 0; b < n; b = nxt[b]) out[m++] = ids[b];
+  return m;
+}
+
 static int merge_piece(const Tables& t, const uint8_t* p, int n,
                        int32_t* out) {
   // direct hit first (reference :81-83)
@@ -260,6 +319,7 @@ static int merge_piece(const Tables& t, const uint8_t* p, int n,
     int32_t id = direct_hit(t, p, n);
     if (id >= 0) { out[0] = id; return 1; }
   }
+  if (n > 96) return merge_piece_heap(t, p, n, out);
   // parts over n+1 boundaries; ids of current spans tracked for lookups
   thread_local std::vector<Part> parts;
   thread_local std::vector<int32_t> ids;
