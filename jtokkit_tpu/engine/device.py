@@ -478,8 +478,13 @@ class DeviceEngine:
             ):
                 results.append(("fallback", buf, doc_ends, parts))
                 continue
-            long_cnt = int(sum(bucket_counts[b] for b in long_buckets))
-            if long_cnt > 128 and self._native_engine() is not None:
+            # route when long pieces plausibly cover >25% of the chunk's
+            # bytes (counts x bucket width is an upper bound on their bytes)
+            long_bytes = int(sum(
+                int(bucket_counts[b]) * stage4.BUCKET_WIDTHS[b]
+                for b in long_buckets
+            ))
+            if long_bytes * 4 > len(buf) and self._native_engine() is not None:
                 results.append(("native", buf, doc_ends, parts))
                 continue
             N = len(buf)
@@ -530,12 +535,13 @@ class DeviceEngine:
             small = np.asarray(jnp.concatenate(
                 [jnp.concatenate([r[3][None], r[4]]) for r in ok]
             ))
+        native_out = self._run_native_chunks(results)
         pos = 0
         k = 0
-        for res in results:
+        for ri, res in enumerate(results):
             if res[0] == "native":
-                _, buf, doc_ends, parts = res
-                self._encode_chunk_native(buf, doc_ends, parts, out)
+                for doc_idx, toks in native_out[ri]:
+                    out[doc_idx].extend(toks.tolist())
                 continue
             if res[0] == "fallback":
                 _, buf, doc_ends, parts = res
@@ -563,15 +569,17 @@ class DeviceEngine:
         ok = [r for r in results if r[0] == "ok"]
         if ok:
             small = np.asarray(jnp.concatenate([r[4] for r in ok]))
+        native_out = self._run_native_chunks(results)
         pos = 0
-        for res in results:
-            if res[0] in ("fallback", "native"):
+        for ri, res in enumerate(results):
+            if res[0] == "native":
+                for doc_idx, toks in native_out[ri]:
+                    counts[doc_idx] += len(toks)
+                continue
+            if res[0] == "fallback":
                 _, buf, doc_ends, parts = res
                 tmp: List[List[int]] = [[] for _ in texts]
-                if res[0] == "native":
-                    self._encode_chunk_native(buf, doc_ends, parts, tmp)
-                else:
-                    self._encode_chunk_fallback(buf, doc_ends, parts, tmp)
+                self._encode_chunk_fallback(buf, doc_ends, parts, tmp)
                 for i, toks in enumerate(tmp):
                     counts[i] += len(toks)
                 continue
@@ -590,16 +598,16 @@ class DeviceEngine:
         ok = [r for r in results if r[0] == "ok"]
         if ok:
             total += int(np.asarray(sum(jnp.asarray(r[3]) for r in ok)))
-        for res in results:
-            if res[0] in ("fallback", "native"):
+        native_out = self._run_native_chunks(results)
+        for ri, res in enumerate(results):
+            if res[0] == "native":
+                total += sum(len(toks) for _d, toks in native_out[ri])
+            elif res[0] == "fallback":
                 _, buf, doc_ends, parts = res
                 tmp: List[List[int]] = [[] for _ in range(len(parts))]
                 remap = {orig: j for j, orig in enumerate(dict.fromkeys(parts))}
                 local_parts = [remap[p] for p in parts]
-                if res[0] == "native":
-                    self._encode_chunk_native(buf, doc_ends, local_parts, tmp)
-                else:
-                    self._encode_chunk_fallback(buf, doc_ends, local_parts, tmp)
+                self._encode_chunk_fallback(buf, doc_ends, local_parts, tmp)
                 total += sum(len(t) for t in tmp)
         return total
 
@@ -644,17 +652,39 @@ class DeviceEngine:
                 out[i] = data[blo:bhi]
         return [b if b is not None else b"" for b in out]
 
-    def _encode_chunk_native(self, buf, doc_ends, parts, out) -> None:
-        """Encode one chunk's documents on the native host engine (exact;
-        differential-tested against the oracle in tests/test_native.py)."""
+    def _run_native_chunks(self, results):
+        """Encode all native-routed chunks on a host thread pool (the C
+        calls release the GIL and read immutable tables, so they scale).
+
+        Returns {result_index: [(doc_idx, np.ndarray tokens)]} in each
+        chunk's document order; callers consume it inside the ordered
+        results loop so documents spanning device AND native chunks keep
+        their token order.
+        """
+        idxs = [i for i, r in enumerate(results) if r[0] == "native"]
+        if not idxs:
+            return {}
         nat = self._native_engine()
-        prev = 0
-        for k, doc_idx in enumerate(parts):
-            end = int(doc_ends[k])
-            start = prev if k == 0 else prev + 1
-            if end > start:
-                out[doc_idx].extend(nat.encode_bytes(buf[start:end]).tolist())
-            prev = end
+
+        def run(i):
+            _, buf, doc_ends, parts = results[i]
+            res = []
+            prev = 0
+            for k, doc_idx in enumerate(parts):
+                end = int(doc_ends[k])
+                start = prev if k == 0 else prev + 1
+                if end > start:
+                    res.append((doc_idx, nat.encode_bytes(buf[start:end])))
+                prev = end
+            return res
+
+        if len(idxs) == 1:
+            return {idxs[0]: run(idxs[0])}
+        import concurrent.futures as cf
+
+        workers = min(len(idxs), os.cpu_count() or 2)
+        with cf.ThreadPoolExecutor(workers) as pool:
+            return dict(zip(idxs, pool.map(run, idxs)))
 
     def _encode_chunk_fallback(self, buf, doc_ends, parts, out) -> None:
         """Host-glue path (boundaries on device, packing on host) for chunks
