@@ -41,6 +41,11 @@ _H2_A, _H2_B, _H2_C = np.uint32(0xC2B2AE3D), np.uint32(0x27D4EB2F), np.uint32(0x
 
 EMPTY = np.int32(-1)
 
+# Length-threshold count for the merge-safety masks: bit l-1 of the L mask
+# of pair entry (u, v) says "no pair (X, v-consumer...)" — see
+# build_safety_masks. 16 L bits + 16 R bits fill one int32 per entry.
+SAFE_LMAX = 16
+
 
 def _mix(u, v, a, b, c, mask):
     h = (u.astype(np.uint32) * a) ^ (v.astype(np.uint32) * b)
@@ -90,6 +95,17 @@ class PackedVocabulary:
     word_len: np.ndarray  # int32[2, word_size]  (-1 empty)
     word_id: np.ndarray  # int32[2, word_size]
     word_mask: int
+    # merge-safety data for the exact batched device merge (ops/merge.py):
+    # cuckoo_safe[t][s] packs, for the pair entry (u, v -> id) in that slot,
+    #   bits 0..15:  (id <  minR_gt[u][l]) for l = 1..16   [left threats]
+    #   bits 16..31: (id <= minL_gt[v][l]) for l = 1..16   [right threats]
+    # where minR_gt[t][l] = min id over pair entries (X, t) with len(X) > l
+    # and minL_gt[t][l] = min id over entries (t, Y) with len(Y) > l.
+    cuckoo_safe: np.ndarray  # int32[2, table_size]
+    # byte-pair seed table with round-1 safety bits:
+    # id (bits 0..17) | safeL@l=1 << 18 | safeR@l=1 << 19, or -1 when the
+    # byte pair is not mergeable.
+    byte_pair_seed: np.ndarray  # int32[65536]
 
     def lookup_pairs(self, u: np.ndarray, v: np.ndarray) -> np.ndarray:
         """Host (numpy) pair lookup, mirroring the device's two gathers.
@@ -166,6 +182,45 @@ def _build_cuckoo(u_arr, v_arr, id_arr):
             return cu, cv, cid, mask
         size *= 2  # rare: grow and retry
     raise RuntimeError("cuckoo build failed to converge")
+
+
+def _build_threat_tables(u_arr, v_arr, id_arr, lengths, n_tokens):
+    """minR_gt / minL_gt over the all-compositions pair table.
+
+    minR_gt[t][l] = min id over entries (X, t) with len(X) > l: the best
+    rank any FUTURE left-neighbor pair consuming t can ever have, given the
+    current left neighbor is at most l bytes (a future consumer strictly
+    contains the current neighbor as a suffix). minL_gt is the mirror for
+    right threats. l is clamped to SAFE_LMAX (conservative).
+    """
+    big = np.int32(0x7FFFFFFF)
+    minR = np.full((n_tokens, SAFE_LMAX + 1), big, dtype=np.int32)
+    minL = np.full((n_tokens, SAFE_LMAX + 1), big, dtype=np.int32)
+    len_u = lengths[u_arr]
+    len_v = lengths[v_arr]
+    for l in range(1, SAFE_LMAX + 1):
+        m = len_u > l
+        if m.any():
+            np.minimum.at(minR[:, l], v_arr[m], id_arr[m])
+        m = len_v > l
+        if m.any():
+            np.minimum.at(minL[:, l], u_arr[m], id_arr[m])
+    return minL, minR
+
+
+def _safety_masks(u, v, ids, minL, minR):
+    """Per-entry packed safety masks for slot arrays (vectorized).
+
+    Empty slots (ids < 0) get mask 0.
+    """
+    uc = np.clip(u, 0, minR.shape[0] - 1)
+    vc = np.clip(v, 0, minL.shape[0] - 1)
+    out = np.zeros(u.shape, dtype=np.int64)
+    for l in range(1, SAFE_LMAX + 1):
+        out |= (ids < minR[uc, l]).astype(np.int64) << (l - 1)
+        out |= (ids <= minL[vc, l]).astype(np.int64) << (16 + l - 1)
+    out = np.where(ids >= 0, out, 0)
+    return out.astype(np.uint32).view(np.int32)
 
 
 _LEN_MIX = np.uint32(0x01000193)
@@ -264,6 +319,26 @@ def build_packed(name: str, ranks: Dict[bytes, int]) -> PackedVocabulary:
     u_arr, v_arr, id_arr = _enumerate_pairs(ranks)
     cu, cv, cid, mask = _build_cuckoo(u_arr, v_arr, id_arr)
     ww0, ww1, wln, wid, wmask = _build_word_table(ranks)
+
+    minL_gt, minR_gt = _build_threat_tables(
+        u_arr, v_arr, id_arr, lengths, n_tokens
+    )
+    csafe = np.stack(
+        [_safety_masks(cu[t], cv[t], cid[t], minL_gt, minR_gt) for t in (0, 1)]
+    )
+    # byte-pair seed with the l=1 safety bits (round 1: all neighbors are
+    # single bytes, so any future threat strictly contains a 1-byte span)
+    bseed = np.full(65536, EMPTY, dtype=np.int32)
+    bp = byte_pair_id
+    occ = bp >= 0
+    b0 = np.arange(65536, dtype=np.int64) >> 8
+    b1 = np.arange(65536, dtype=np.int64) & 0xFF
+    u_id = byte_to_id[b0]
+    v_id = byte_to_id[b1]
+    ok = occ & (u_id >= 0) & (v_id >= 0)
+    sl = (bp < minR_gt[np.clip(u_id, 0, None), 1]).astype(np.int32)
+    sr = (bp <= minL_gt[np.clip(v_id, 0, None), 1]).astype(np.int32)
+    bseed[ok] = bp[ok] | (sl[ok] << 18) | (sr[ok] << 19)
     return PackedVocabulary(
         name=name,
         n_tokens=n_tokens,
@@ -283,6 +358,8 @@ def build_packed(name: str, ranks: Dict[bytes, int]) -> PackedVocabulary:
         word_len=wln,
         word_id=wid,
         word_mask=wmask,
+        cuckoo_safe=csafe,
+        byte_pair_seed=bseed,
     )
 
 
@@ -299,6 +376,8 @@ _ARRAY_FIELDS = (
     "word_w1",
     "word_len",
     "word_id",
+    "cuckoo_safe",
+    "byte_pair_seed",
 )
 _SCALAR_FIELDS = ("n_tokens", "max_token_len", "table_mask", "n_pairs", "word_mask")
 
@@ -312,7 +391,7 @@ def load_packed(name: str, ranks: Dict[bytes, int], vocab_path: str | None = Non
     cache_path = None
     if vocab_path and os.path.exists(vocab_path):
         st = os.stat(vocab_path)
-        key = f"{name}_{st.st_size}_{int(st.st_mtime)}"
+        key = f"{name}_v2_{st.st_size}_{int(st.st_mtime)}"
         cache_path = os.path.join(_cache_dir(), f"{key}.npz")
         if os.path.exists(cache_path):
             try:
