@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import boundaries, classify, decode as decode_ops, merge, pipeline, stage4
+from ..ops import (
+    boundaries, classify, decode as decode_ops, merge, merge_exact,
+    pipeline, stage4,
+)
 from ..vocab import tables as vtables
 from ..vocab.loader import asset_path
 from .oracle import OracleEngine, byte_pair_merge
@@ -110,14 +113,15 @@ class DeviceEngine:
 
         enable_compile_cache()
 
-        # packed row tables: fetch a whole hash entry in ONE gather
-        zeros_pair = np.zeros_like(packed.cuckoo_u[0])
+        # packed row tables: fetch a whole hash entry in ONE gather; slot 3
+        # carries the merge-safety mask consumed by ops/merge_exact
         self._pair_rows0 = jnp.asarray(np.stack(
             [packed.cuckoo_u[0], packed.cuckoo_v[0], packed.cuckoo_id[0],
-             zeros_pair], axis=1))
+             packed.cuckoo_safe[0]], axis=1))
         self._pair_rows1 = jnp.asarray(np.stack(
             [packed.cuckoo_u[1], packed.cuckoo_v[1], packed.cuckoo_id[1],
-             zeros_pair], axis=1))
+             packed.cuckoo_safe[1]], axis=1))
+        self._byte_pair_seed = jnp.asarray(packed.byte_pair_seed)
         word_lenid = np.where(
             packed.word_len < 0, -1, (packed.word_len << 20) | packed.word_id
         ).astype(np.int32)
@@ -176,7 +180,7 @@ class DeviceEngine:
             fn = self._merge_bucket_jits.get(key)
             if fn is None:
                 fn = jax.jit(functools.partial(
-                    pipeline.merge_bucket_v2, lanes=lanes, cap=cap,
+                    merge_exact.merge_bucket_exact, lanes=lanes, cap=cap,
                 ))
                 self._merge_bucket_jits[key] = fn
             return fn
@@ -401,7 +405,8 @@ class DeviceEngine:
     # pieces of len > prev_width fit at most N/(prev_width+1) times in N
     # bytes; the 8-lane bucket is bounded by the miss table (misses ≥ 2 bytes)
     _BUCKET_MAX_DIV = {
-        8: 2, 16: 9, 32: 17, 64: 33, 128: 65, 512: 129, 4096: 513,
+        8: 2, 16: 9, 32: 17, 64: 33, 128: 65, 256: 129, 384: 257,
+        512: 385, 4096: 513,
     }
 
     def _bucket_cap(self, n_chunk: int, lanes: int, count: int) -> int:
@@ -461,13 +466,6 @@ class DeviceEngine:
             for k, i in enumerate(retried):
                 metas[i] = re_metas[k]
 
-        # device merge rounds scale with the longest piece in a bucket, so a
-        # chunk dominated by >64-byte pieces (CJK letter runs) is faster on
-        # the native host engine (O(m log m) heap merge) than on the device
-        long_buckets = [
-            b for b, w in enumerate(stage4.BUCKET_WIDTHS) if w > 64
-        ]
-
         results = []
         for i, (buf, doc_ends, parts, variant, t, _meta, buf_dev,
                 _de_dev) in enumerate(staged):
@@ -478,15 +476,6 @@ class DeviceEngine:
             ):
                 results.append(("fallback", buf, doc_ends, parts))
                 continue
-            # route when long pieces plausibly cover >25% of the chunk's
-            # bytes (counts x bucket width is an upper bound on their bytes)
-            long_bytes = int(sum(
-                int(bucket_counts[b]) * stage4.BUCKET_WIDTHS[b]
-                for b in long_buckets
-            ))
-            if long_bytes * 4 > len(buf) and self._native_engine() is not None:
-                results.append(("native", buf, doc_ends, parts))
-                continue
             N = len(buf)
             counts = self._counts_init(t.hit, t.n_pieces)
             bucket_outs = []
@@ -495,21 +484,23 @@ class DeviceEngine:
                 if cnt == 0:
                     continue
                 cap = self._bucket_cap(N, lanes, cnt)
-                cols, ids, active = self._merge_bucket_fn(lanes, cap)(
+                cols, outs = self._merge_bucket_fn(lanes, cap)(
                     buf_dev, t.starts, t.lens, t.miss_sorted,
                     t.group_start[b], jnp.int32(cnt),
-                    self._byte_to_id, self._byte_pair_id, self._pair_rows0,
+                    self._byte_to_id, self._byte_pair_seed, self._pair_rows0,
                     self._pair_rows1, self.packed.table_mask,
                 )
-                counts = self._counts_add(counts, cols, active)
-                bucket_outs.append((cols, ids, active))
+                for ids_k, act_k in outs:
+                    counts = self._counts_add(counts, cols, act_k)
+                bucket_outs.append((cols, outs))
             offsets, n_tokens = self._make_offsets(counts, t.n_pieces)
             if want_tokens:
                 tokens = self._scatter_hits(N, t.hit, offsets, t.n_pieces)
-                for cols, ids, active in bucket_outs:
-                    tokens = self._scatter_bucket(
-                        tokens, ids, active, cols, offsets
-                    )
+                for cols, outs in bucket_outs:
+                    for ids_k, act_k in outs:
+                        tokens = self._scatter_bucket(
+                            tokens, ids_k, act_k, cols, offsets
+                        )
             else:
                 tokens = None
             doc_counts = self._doc_counts(

@@ -49,11 +49,10 @@ _LEN_MIX = 0x01000193
 OVERFLOW_CAPACITY = 1   # piece table or miss table too small for this text
 OVERFLOW_PIECE_LEN = 2  # a single piece exceeds the largest merge bucket
 
-# Finer buckets than the merge-cost-naive (8, 32, ...) split: the merge
-# loop runs up to (width-1) rounds for the longest piece in a bucket, so
-# isolating 9-16-byte misses (the common case) from the 17-32 tail roughly
-# halves the dominant bucket's round count.
-BUCKET_WIDTHS = (8, 16, 32, 64, 128, 512, 4096)
+# Fine length buckets: merge round-1 cost is proportional to the bucket
+# width x piece count, so occupancy matters; the 256/384 splits keep long
+# CJK letter runs (~270-600 bytes) near-fully packed.
+BUCKET_WIDTHS = (8, 16, 32, 64, 128, 256, 384, 512, 4096)
 MAX_PIECE_LEN = BUCKET_WIDTHS[-1]
 META_LEN = 2 + len(BUCKET_WIDTHS)
 
