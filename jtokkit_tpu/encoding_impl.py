@@ -123,11 +123,14 @@ class GptBytePairEncoding(Encoding):
             # the capped result is the first max_tokens tokens of the full
             # encoding, with the multibyte repair applied (the reference's
             # early-exit loop and clipping produce exactly this prefix,
-            # M/GptBytePairEncoding.java:79-100,110-119)
-            full = native.encode_ordinary(text)
-            tokens, truncated = self._oracle._repair_truncation(
-                text, full[:max_tokens]
-            )
+            # M/GptBytePairEncoding.java:79-100,110-119); the native scan
+            # early-exits, so this is O(prefix), not O(len(text))
+            prefix = native.encode_ordinary_capped_array(text, max_tokens)
+            if prefix is None:  # stale library without the capped ABI
+                prefix = native.encode_ordinary(text)[:max_tokens]
+            else:
+                prefix = prefix.tolist()
+            tokens, truncated = self._oracle._repair_truncation(text, prefix)
             return EncodingResult(tokens, truncated)
         tokens, truncated = self._oracle.encode_ordinary(text, max_tokens)
         return EncodingResult(tokens, truncated)

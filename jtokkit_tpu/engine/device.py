@@ -174,14 +174,39 @@ class DeviceEngine:
             return fn
 
         self._merge_bucket_jits = {}
+        # Merge-engine crossover: the exact batched engine (ops/merge_exact)
+        # converges in fewer rounds but costs several extra column scans and
+        # [W,cap] gathers per round; measured on TPU v5e it is ~3x slower
+        # than the sequential-step engine on english text and its large-lane
+        # XLA program compiles pathologically slowly, so it is OPT-IN:
+        # buckets with lanes >= JTOKKIT_TPU_EXACT_MIN_LANES use it
+        # (default: never).
+        self._exact_min_lanes = int(
+            os.environ.get("JTOKKIT_TPU_EXACT_MIN_LANES", 1 << 30)
+        )
 
         def _merge_bucket_fn(lanes: int, cap: int):
-            key = (lanes, cap)
+            use_exact = lanes >= self._exact_min_lanes
+            key = (lanes, cap, use_exact)
             fn = self._merge_bucket_jits.get(key)
             if fn is None:
-                fn = jax.jit(functools.partial(
-                    merge_exact.merge_bucket_exact, lanes=lanes, cap=cap,
-                ))
+                if use_exact:
+                    fn = jax.jit(functools.partial(
+                        merge_exact.merge_bucket_exact, lanes=lanes, cap=cap,
+                    ))
+                else:
+                    def seq_fn(buf, starts, lens, miss_sorted, group_start_b,
+                               count_b, byte_to_id, _byte_pair_seed,
+                               pair_rows0, pair_rows1, table_mask,
+                               _lanes=lanes, _cap=cap):
+                        cols, ids, active = pipeline.merge_bucket_v2(
+                            buf, starts, lens, miss_sorted, group_start_b,
+                            count_b, byte_to_id, self._byte_pair_id,
+                            pair_rows0, pair_rows1, table_mask,
+                            lanes=_lanes, cap=_cap,
+                        )
+                        return cols, [(ids, active)]
+                    fn = jax.jit(seq_fn)
                 self._merge_bucket_jits[key] = fn
             return fn
 
@@ -466,6 +491,13 @@ class DeviceEngine:
             for k, i in enumerate(retried):
                 metas[i] = re_metas[k]
 
+        # device merge rounds scale with the longest piece in a bucket, so a
+        # chunk dominated by >64-byte pieces (CJK letter runs) is faster on
+        # the native host engine (O(m log m) heap merge) than on the device
+        long_buckets = [
+            b for b, w in enumerate(stage4.BUCKET_WIDTHS) if w > 64
+        ]
+
         results = []
         for i, (buf, doc_ends, parts, variant, t, _meta, buf_dev,
                 _de_dev) in enumerate(staged):
@@ -475,6 +507,15 @@ class DeviceEngine:
                 overflow & stage4.OVERFLOW_CAPACITY
             ):
                 results.append(("fallback", buf, doc_ends, parts))
+                continue
+            # route when long pieces plausibly cover >25% of the chunk's
+            # bytes (counts x bucket width is an upper bound on their bytes)
+            long_bytes = int(sum(
+                int(bucket_counts[b]) * stage4.BUCKET_WIDTHS[b]
+                for b in long_buckets
+            ))
+            if long_bytes * 4 > len(buf) and self._native_engine() is not None:
+                results.append(("native", buf, doc_ends, parts))
                 continue
             N = len(buf)
             counts = self._counts_init(t.hit, t.n_pieces)

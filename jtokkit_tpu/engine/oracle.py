@@ -100,7 +100,10 @@ class OracleEngine:
         if text is None:
             return [], False
         out: List[int] = []
-        for a, b in presplit.split(text, self.pattern):
+        # the splitter is a generator: with max_tokens set, the scan stops
+        # after O(max_tokens) pieces, like the reference's early-exited
+        # Matcher.find() loop (M/GptBytePairEncoding.java:79,281-283)
+        for a, b in presplit.compile_splitter(self.pattern)(text):
             if max_tokens is not None and len(out) >= max_tokens:
                 break
             piece = text[a:b].encode("utf-8")

@@ -61,6 +61,8 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.jt_init.restype = ctypes.c_int
             lib.jt_encode.restype = ctypes.c_int64
             lib.jt_split.restype = ctypes.c_int64
+            if hasattr(lib, "jt_encode_capped"):
+                lib.jt_encode_capped.restype = ctypes.c_int64
             _lib = lib
         except OSError:
             _load_failed = True
@@ -153,6 +155,32 @@ class NativeEngine:
             ctypes.c_int64(len(buf)),
             ctypes.c_int32(self._pattern_code),
             out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if m < 0:
+            raise RuntimeError("native engine not initialized")
+        return out[:m]
+
+    def encode_ordinary_capped_array(self, text: str, max_tokens: int):
+        """First ``max_tokens`` tokens of the full encoding, or None when the
+        loaded library predates the capped entry point. O(prefix) — the
+        native scan stops once the cap is reached (the reference's maxTokens
+        early exit, ``M/GptBytePairEncoding.java:79,281-283``)."""
+        if not hasattr(self._lib, "jt_encode_capped"):
+            return None
+        if max_tokens <= 0:
+            return np.zeros(0, dtype=np.int32)
+        data = text.encode("utf-8")
+        if not data:
+            return np.zeros(0, dtype=np.int32)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(max_tokens, dtype=np.int32)
+        m = self._lib.jt_encode_capped(
+            ctypes.c_int32(self._handle),
+            buf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(data)),
+            ctypes.c_int32(self._pattern_code),
+            out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(max_tokens),
         )
         if m < 0:
             raise RuntimeError("native engine not initialized")

@@ -141,9 +141,11 @@ inline int contraction_len(const uint8_t* p, int n, int i, bool fold) {
 
 // Appends piece end offsets for [0, n) to `ends`.
 static void split_gpt2(const Tables& t, const uint8_t* p, int n,
-                       std::vector<int>& ends) {
+                       std::vector<int>& ends,
+                       int64_t max_pieces = INT64_MAX) {
   int i = 0;
   while (i < n) {
+    if ((int64_t)ends.size() >= max_pieces) break;
     int len;
     int8_t c = cls_at(t, p, n, i, &len);
     if (c == OTHER) {
@@ -184,9 +186,11 @@ static void split_gpt2(const Tables& t, const uint8_t* p, int n,
 }
 
 static void split_cl100k(const Tables& t, const uint8_t* p, int n,
-                         std::vector<int>& ends) {
+                         std::vector<int>& ends,
+                         int64_t max_pieces = INT64_MAX) {
   int i = 0;
   while (i < n) {
+    if ((int64_t)ends.size() >= max_pieces) break;
     int len;
     int8_t c = cls_at(t, p, n, i, &len);
     if (c == OTHER && p[i] == '\'') {
@@ -419,6 +423,36 @@ int64_t jt_encode(int32_t handle, const uint8_t* text, int64_t n,
   int start = 0;
   for (int e : ends) {
     m += merge_piece(t, text + start, e - start, out + m);
+    start = e;
+  }
+  return m;
+}
+
+// Capped encode: early-exits the pre-split scan once max_tokens pieces are
+// found (every piece yields >= 1 token) and stops merging once max_tokens
+// tokens are produced — the reference's maxTokens early exit
+// (M/GptBytePairEncoding.java:79,281-283). Writes at most max_tokens ids to
+// out (the multibyte repair runs in Python). O(prefix), not O(n).
+int64_t jt_encode_capped(int32_t handle, const uint8_t* text, int64_t n,
+                         int32_t pattern, int32_t* out, int64_t max_tokens) {
+  if (handle < 0 || handle >= kMaxHandles || !g_handle_ready[handle]) return -1;
+  if (max_tokens <= 0) return 0;
+  const Tables& t = g_handles[handle];
+  thread_local std::vector<int> ends;
+  thread_local std::vector<int32_t> scratch;
+  ends.clear();
+  if (pattern == 0) split_gpt2(t, text, (int)n, ends, max_tokens);
+  else split_cl100k(t, text, (int)n, ends, max_tokens);
+  int64_t m = 0;
+  int start = 0;
+  for (int e : ends) {
+    int plen = e - start;
+    scratch.resize(plen);
+    int cnt = merge_piece(t, text + start, plen, scratch.data());
+    int take = (int)std::min<int64_t>(cnt, max_tokens - m);
+    std::memcpy(out + m, scratch.data(), take * sizeof(int32_t));
+    m += take;
+    if (m >= max_tokens) break;
     start = e;
   }
   return m;
