@@ -214,8 +214,59 @@ class DeviceEngine:
         self._counts_add = jax.jit(pipeline.counts_add_bucket)
         self._make_offsets = jax.jit(pipeline.make_offsets)
         self._scatter_hits = jax.jit(pipeline.scatter_hits, static_argnums=(0,))
-        self._scatter_bucket = jax.jit(pipeline.scatter_bucket)
+        # donate the tokens buffer: each bucket scatter updates it in place
+        # instead of copying the whole [N] array per bucket
+        self._scatter_bucket = jax.jit(
+            pipeline.scatter_bucket, donate_argnums=(0,)
+        )
         self._doc_counts = jax.jit(stage4.doc_token_counts_v4)
+        # quantized token-prefix slicing + packed D2H: fetching
+        # tokens_dev[:n_tokens] directly would compile one slice program per
+        # distinct n_tokens, and int32 wastes transfer bytes. Slice to a few
+        # power-of-two lengths and ship 2 B/token (uint16 low halves) plus,
+        # when ids need a 17th bit (cl100k), a 1-bit-per-token plane.
+        self._fetch_wide = packed.n_tokens > 0xFFFF
+        self._slice_jits = {}
+
+        def _slice_pack_fn(pad: int):
+            fn = self._slice_jits.get(pad)
+            if fn is None:
+                wide = self._fetch_wide
+
+                def slice_pack(tokens):
+                    t = jax.lax.dynamic_slice_in_dim(tokens, 0, pad, axis=0)
+                    lo = (t & 0xFFFF).astype(jnp.uint16)
+                    if not wide:
+                        return lo, None
+                    bits = ((t >> 16) & 1).astype(jnp.uint8).reshape(-1, 8)
+                    w = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+                    return lo, (bits * w[None, :]).sum(
+                        axis=1, dtype=jnp.uint8
+                    )
+
+                fn = jax.jit(slice_pack)
+                self._slice_jits[pad] = fn
+            return fn
+
+        self._slice_tokens = _slice_pack_fn
+
+        # jitted small-meta packers, keyed by the ok-chunk signature: the
+        # unjitted per-chunk concat chain costs ~0.4 s of pure dispatch on a
+        # 16-chunk corpus
+        self._meta_pack_jits = {}
+
+        def _pack_metas(ns, dcs):
+            key = (len(ns), tuple(d.shape[0] for d in dcs))
+            fn = self._meta_pack_jits.get(key)
+            if fn is None:
+                fn = jax.jit(lambda ns_, dcs_: jnp.concatenate(
+                    [jnp.stack(ns_), jnp.concatenate(dcs_)]
+                ))
+                self._meta_pack_jits[key] = fn
+            return fn(ns, dcs)
+
+        self._pack_metas = _pack_metas
+        self._sum_scalars_jit = jax.jit(lambda xs: jnp.stack(xs).sum())
         self._stage_a = _stage_a_fn
         self._merge_bucket_fn = _merge_bucket_fn
 
@@ -554,44 +605,101 @@ class DeviceEngine:
     # public batch API
     # ------------------------------------------------------------------
 
+    def encode_ordinary_batch_arrays(
+        self, texts: Sequence[Optional[str]], plan=None
+    ) -> List[np.ndarray]:
+        """Token ids per document as int32 numpy arrays (the TPU-native
+        output format: one D2H fetch per chunk, zero-copy per-doc views).
+
+        Fetch protocol: ONE batched fetch of every chunk's (n_tokens,
+        doc_counts), then each chunk's live token prefix is sliced to a
+        quantized length on device, prefetched with ``copy_to_host_async``
+        (transfers overlap each other and any remaining compute), and
+        trimmed on host.
+        """
+        if texts is None and plan is None:
+            return []
+        n_docs = (
+            len(texts) if texts is not None
+            else 1 + max(p for _b, _e, parts, _a, _bd, _ed in plan
+                         for p in parts)
+        )
+        parts_out: List[List[np.ndarray]] = [[] for _ in range(n_docs)]
+        results = self._process_chunks(texts, want_tokens=True, plan=plan)
+        # sync round 2a: ONE jitted pack + fetch of every chunk's
+        # (n_tokens, doc_counts); layout = all n_tokens, then doc_counts
+        ok = [r for r in results if r[0] == "ok"]
+        if ok:
+            small = np.asarray(self._pack_metas(
+                [r[3] for r in ok], [r[4] for r in ok]
+            ))
+        # slice every chunk's live prefix, pack to 2 B/token (+1-bit plane
+        # when ids exceed 16 bits), and start all D2H copies before
+        # consuming any (sequential per-array fetches serialize on tunnel
+        # latency; prefetched copies stream at full bandwidth)
+        pos = len(ok)
+        oki = 0
+        fetches = []
+        for res in results:
+            if res[0] != "ok":
+                fetches.append(None)
+                continue
+            _, parts, tokens_dev, _n_dev, doc_counts_dev = res
+            d_size = int(doc_counts_dev.shape[0])
+            n_tokens = int(small[oki])
+            doc_counts = small[pos : pos + len(parts)]
+            pos += d_size
+            oki += 1
+            if n_tokens:
+                pad = min(_next_pow2(n_tokens, 8192), tokens_dev.shape[0])
+                lo, hi = self._slice_tokens(pad)(tokens_dev)
+                lo.copy_to_host_async()
+                if hi is not None:
+                    hi.copy_to_host_async()
+            else:
+                lo = hi = None
+            fetches.append((parts, doc_counts, n_tokens, lo, hi))
+        native_out = self._run_native_chunks(results)
+        for ri, res in enumerate(results):
+            if res[0] == "native":
+                for doc_idx, toks in native_out[ri]:
+                    parts_out[doc_idx].append(toks)
+                continue
+            if res[0] == "fallback":
+                _, buf, doc_ends, parts = res
+                tmp: List[List[int]] = [[] for _ in range(n_docs)]
+                self._encode_chunk_fallback(buf, doc_ends, parts, tmp)
+                for doc_idx in dict.fromkeys(parts):
+                    parts_out[doc_idx].append(
+                        np.asarray(tmp[doc_idx], dtype=np.int32)
+                    )
+                continue
+            parts, doc_counts, n_tokens, lo, hi = fetches[ri]
+            if lo is None:
+                tokens = np.zeros((0,), np.int32)
+            else:
+                tokens = np.asarray(lo)[:n_tokens].astype(np.int32)
+                if hi is not None:
+                    bits = np.unpackbits(
+                        np.asarray(hi), bitorder="little"
+                    )[:n_tokens].astype(np.int32)
+                    tokens |= bits << 16
+            splits = np.cumsum(doc_counts[: len(parts)])[:-1]
+            for doc_idx, toks in zip(parts, np.split(tokens, splits)):
+                parts_out[doc_idx].append(toks)
+        empty = np.zeros((0,), np.int32)
+        return [
+            ps[0] if len(ps) == 1
+            else (np.concatenate(ps) if ps else empty)
+            for ps in parts_out
+        ]
+
     def encode_ordinary_batch(
         self, texts: Sequence[Optional[str]]
     ) -> List[List[int]]:
         if not texts:
             return []
-        out: List[List[int]] = [[] for _ in texts]
-        results = self._process_chunks(texts, want_tokens=True)
-        # sync round 2a: ONE fetch of every chunk's (n_tokens, doc_counts)
-        ok = [r for r in results if r[0] == "ok"]
-        if ok:
-            small = np.asarray(jnp.concatenate(
-                [jnp.concatenate([r[3][None], r[4]]) for r in ok]
-            ))
-        native_out = self._run_native_chunks(results)
-        pos = 0
-        k = 0
-        for ri, res in enumerate(results):
-            if res[0] == "native":
-                for doc_idx, toks in native_out[ri]:
-                    out[doc_idx].extend(toks.tolist())
-                continue
-            if res[0] == "fallback":
-                _, buf, doc_ends, parts = res
-                self._encode_chunk_fallback(buf, doc_ends, parts, out)
-                continue
-            _, parts, tokens_dev, _n_dev, doc_counts_dev = res
-            d_size = int(doc_counts_dev.shape[0])
-            n_tokens = int(small[pos])
-            doc_counts = small[pos + 1 : pos + 1 + len(parts)]
-            pos += 1 + d_size
-            # sync 2b: fetch only the live token prefix, not the padded buffer
-            tokens = np.asarray(tokens_dev[:n_tokens]) if n_tokens else \
-                np.zeros((0,), np.int32)
-            k += 1
-            splits = np.cumsum(doc_counts)[:-1]
-            for doc_idx, toks in zip(parts, np.split(tokens, splits)):
-                out[doc_idx].extend(toks.tolist())
-        return out
+        return [a.tolist() for a in self.encode_ordinary_batch_arrays(texts)]
 
     def count_tokens_batch(self, texts: Sequence[Optional[str]]) -> List[int]:
         if not texts:
@@ -629,7 +737,7 @@ class DeviceEngine:
         total = 0
         ok = [r for r in results if r[0] == "ok"]
         if ok:
-            total += int(np.asarray(sum(jnp.asarray(r[3]) for r in ok)))
+            total += int(np.asarray(self._sum_scalars_jit([r[3] for r in ok])))
         native_out = self._run_native_chunks(results)
         for ri, res in enumerate(results):
             if res[0] == "native":
