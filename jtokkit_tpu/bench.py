@@ -5,13 +5,22 @@ full-corpus encode passes (reference ``benchmark/README.md:9-11``,
 ``benchmark/.../AbstractBenchmark.java:26-38``). Here the corpus is a
 deterministic synthetic Gutenberg-like corpus (the books are not shipped in
 the reference repo either — its ``benchmark/data`` is empty), preloaded on
-the host, and encode/count passes run through the device engine. Reported
+the host, and encode/count passes run through the chosen engine. Reported
 throughput = corpus UTF-8 bytes / wall-clock seconds, steady-state (after
 one warm-up pass that also triggers compilation).
 
-Baseline for comparison: JTokkit cl100k_base single-thread ≈ 18.7 MB/s
-(reference ``benchmark/reports/jtokkit.txt:26``: 14.144 s for 265 MB/pass on
-a Ryzen 9 5900X).
+Modes (all end-to-end on the host side of the API):
+  device        honest encode: every document's token ids materialized in
+                host RAM as int32 arrays (``encode_ordinary_batch_arrays``)
+  device-lists  same plus Python list conversion (reference output shape)
+  device-count  token counting only (no token materialization/fetch)
+  host          pure-Python oracle
+  native / native-mt   C++ host engine, single / all threads
+  tiktoken      comparison point, built from local rank files
+
+Baseline for comparison: JTokkit single-thread per-encoding scores
+(reference ``benchmark/reports/jtokkit.txt:26-29``), e.g. cl100k_base
+14.144 s for 265 MB ≈ 18.7 MB/s on a Ryzen 9 5900X.
 """
 
 from __future__ import annotations
@@ -26,6 +35,11 @@ BASELINE_MBPS = {
     "p50k_base": 265.0 / 12.800,
     "p50k_edit": 265.0 / 13.404,
 }
+
+MODES = (
+    "device", "device-lists", "device-count", "host", "native", "native-mt",
+    "tiktoken",
+)
 
 
 def _load_corpus(mb: float, corpus: Optional[str], flavor: str):
@@ -48,6 +62,16 @@ def _load_corpus(mb: float, corpus: Optional[str], flavor: str):
     return generate(mb, seed=0, flavor=flavor)
 
 
+def _best_of(passes: int, fn):
+    best = float("inf")
+    out = None
+    for _ in range(passes):
+        t0 = time.time()
+        out = fn()
+        best = min(best, time.time() - t0)
+    return best, out
+
+
 def run(
     mb: float = 16,
     encoding: str = "cl100k_base",
@@ -68,11 +92,13 @@ def run(
 
     docs = _load_corpus(mb, corpus, flavor)
     nbytes = sum(len(t.encode("utf-8")) for t in docs)
+    detail = {}
 
     if mode == "host":
-        t0 = time.time()
+        elapsed, _ = _best_of(
+            1, lambda: [orc.encode_ordinary(t)[0] for t in docs]
+        )
         total = sum(len(orc.encode_ordinary(t)[0]) for t in docs)
-        elapsed = time.time() - t0
     elif mode in ("native", "native-mt"):
         # reference protocol analog: single- and multi-threaded host passes
         # (the JMH benches fan files over a thread pool, reference
@@ -88,27 +114,21 @@ def run(
         nat = NativeEngine(packed, d.pattern)
         nat.encode_ordinary(docs[0])  # warm
         if mode == "native":
-            best = float("inf")
-            for _ in range(passes):
-                t0 = time.time()
-                total = sum(len(nat.encode_ordinary(t)) for t in docs)
-                best = min(best, time.time() - t0)
-            elapsed = best
+            elapsed, out = _best_of(
+                passes, lambda: [nat.encode_ordinary_array(t) for t in docs]
+            )
+            total = sum(len(t) for t in out)
         else:
             import concurrent.futures as cf
             import os as _os
 
             workers = _os.cpu_count() or 2
             with cf.ThreadPoolExecutor(workers) as pool:
-                best = float("inf")
-                for _ in range(passes):
-                    t0 = time.time()
-                    counts = list(pool.map(
-                        lambda t: len(nat.encode_ordinary(t)), docs
-                    ))
-                    best = min(best, time.time() - t0)
-                total = sum(counts)
-                elapsed = best
+                elapsed, out = _best_of(passes, lambda: list(
+                    pool.map(nat.encode_ordinary_array, docs)
+                ))
+            total = sum(len(t) for t in out)
+            detail["threads"] = workers
     elif mode == "tiktoken":
         # comparison point (reference benchmark/bench.py drives tiktoken's
         # encode_ordinary_batch); constructed from local rank files
@@ -122,13 +142,10 @@ def run(
             name=encoding, pat_str=pat, mergeable_ranks=orc.ranks,
             special_tokens=d.special_tokens,
         )
-        best = float("inf")
-        for _ in range(passes):
-            t0 = time.time()
-            out = tk.encode_ordinary_batch(docs)
-            best = min(best, time.time() - t0)
+        elapsed, out = _best_of(
+            passes, lambda: tk.encode_ordinary_batch(docs)
+        )
         total = sum(len(t) for t in out)
-        elapsed = best
     else:
         from .engine.device import DeviceEngine
 
@@ -138,13 +155,25 @@ def run(
         # steady-state passes measure the encode pipeline, not the upload
         plan = eng.preload_corpus(docs)
         total = eng.count_tokens_corpus(docs, plan=plan)  # warm-up + compile
-        best = float("inf")
-        for _ in range(passes):
-            t0 = time.time()
-            got = eng.count_tokens_corpus(docs, plan=plan)
-            best = min(best, time.time() - t0)
+        if mode == "device-count":
+            elapsed, got = _best_of(
+                passes, lambda: eng.count_tokens_corpus(docs, plan=plan)
+            )
             assert got == total
-        elapsed = best
+        else:
+            eng.encode_ordinary_batch_arrays(None, plan=plan)  # warm
+            if mode == "device-lists":
+                elapsed, out = _best_of(passes, lambda: [
+                    a.tolist()
+                    for a in eng.encode_ordinary_batch_arrays(None, plan=plan)
+                ])
+                assert sum(len(t) for t in out) == total
+            else:  # device: honest encode, int32 array per document
+                elapsed, out = _best_of(
+                    passes,
+                    lambda: eng.encode_ordinary_batch_arrays(None, plan=plan),
+                )
+                assert sum(len(a) for a in out) == total
         if verify:
             import random
 
@@ -158,18 +187,21 @@ def run(
 
     mbps = nbytes / elapsed / 1e6
     baseline = BASELINE_MBPS.get(encoding, BASELINE_MBPS["cl100k_base"])
-    where = "1 chip" if mode == "device" else "host"
+    where = "host" if mode in ("host", "native", "native-mt", "tiktoken") \
+        else "1 chip"
+    detail.update({
+        "corpus_mb": round(nbytes / 1e6, 2),
+        "flavor": flavor,
+        "tokens": int(total),
+        "seconds": round(elapsed, 3),
+        "baseline_mbps": round(baseline, 1),
+        "baseline": f"JTokkit {encoding} 1-thread, Ryzen 9 5900X "
+        "(reference benchmark/reports/jtokkit.txt)",
+    })
     return {
         "metric": f"{encoding} encode throughput ({mode}, {where})",
         "value": round(mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(mbps / baseline, 2),
-        "detail": {
-            "corpus_mb": round(nbytes / 1e6, 2),
-            "tokens": int(total),
-            "seconds": round(elapsed, 3),
-            "baseline_mbps": round(baseline, 1),
-            "baseline": "JTokkit cl100k_base 1-thread, Ryzen 9 5900X "
-            "(reference benchmark/reports/jtokkit.txt)",
-        },
+        "detail": detail,
     }
