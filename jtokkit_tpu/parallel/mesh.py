@@ -29,15 +29,21 @@ def initialize_distributed(
     single chip). On a pod slice, call once per host before building meshes;
     arguments may be omitted when the TPU runtime provides them.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
     if coordinator_address is None and num_processes is None:
         return  # single process; nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    # NOTE: must run before anything initializes the XLA backend — probing
+    # jax.process_count() here would itself initialize it, so "already
+    # initialized by the runtime" is detected from the error instead.
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as err:
+        if "once" in str(err):
+            return  # already initialized by the runtime
+        raise
 
 
 def data_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
