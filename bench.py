@@ -21,8 +21,8 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-MODES = ["device", "device-lists", "device-count", "host", "native",
-         "native-mt", "tiktoken"]
+MODES = ["device", "device-lists", "device-count", "decode", "device-decode",
+         "host", "native", "native-mt", "tiktoken"]
 
 
 def main():
@@ -36,9 +36,32 @@ def main():
                    help="tiny corpus, quick sanity run")
     p.add_argument("--all", action="store_true",
                    help="full sweep: encodings x flavors x key modes")
+    p.add_argument("--sweep", action="store_true",
+                   help="native thread-scaling sweep (reference analog of "
+                        "AbstractMultiThreadedBenchmark 1..64 threads)")
+    p.add_argument("--threads", type=int, default=None,
+                   help="thread count for native-mt")
     args = p.parse_args()
 
     from jtokkit_tpu import bench
+
+    if args.sweep:
+        import os as _os
+
+        rows = []
+        for threads in (1, 2, 4, 8, 16):
+            mode = "native" if threads == 1 else "native-mt"
+            r = bench.run(mb=args.mb, encoding=args.encoding, mode=mode,
+                          flavor=args.flavor, passes=3, threads=threads)
+            out = {k: r[k] for k in
+                   ("metric", "value", "unit", "vs_baseline")}
+            out["detail"] = r["detail"]
+            out["detail"]["threads"] = threads
+            out["detail"]["cpus"] = _os.cpu_count()
+            print(json.dumps(out), flush=True)
+            rows.append(out)
+        print(json.dumps(rows[-1]))
+        return
 
     if args.all:
         rows = []
@@ -69,6 +92,7 @@ def main():
         mode=args.mode,
         flavor=args.flavor,
         passes=1 if args.smoke else 3,
+        threads=args.threads,
     )
     out = {k: result[k] for k in ("metric", "value", "unit", "vs_baseline")}
     out["detail"] = result["detail"]

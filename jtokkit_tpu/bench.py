@@ -37,8 +37,8 @@ BASELINE_MBPS = {
 }
 
 MODES = (
-    "device", "device-lists", "device-count", "host", "native", "native-mt",
-    "tiktoken",
+    "device", "device-lists", "device-count", "decode", "device-decode",
+    "host", "native", "native-mt", "tiktoken",
 )
 
 
@@ -80,6 +80,7 @@ def run(
     flavor: str = "english",
     passes: int = 3,
     verify: bool = True,
+    threads: Optional[int] = None,
 ) -> dict:
     from .engine.oracle import OracleEngine
     from .vocab.definitions import BUILTIN_DEFINITIONS
@@ -122,7 +123,7 @@ def run(
             import concurrent.futures as cf
             import os as _os
 
-            workers = _os.cpu_count() or 2
+            workers = threads or _os.cpu_count() or 2
             with cf.ThreadPoolExecutor(workers) as pool:
                 elapsed, out = _best_of(passes, lambda: list(
                     pool.map(nat.encode_ordinary_array, docs)
@@ -160,6 +161,17 @@ def run(
                 passes, lambda: eng.count_tokens_corpus(docs, plan=plan)
             )
             assert got == total
+        elif mode in ("decode", "device-decode"):
+            # decode throughput over the corpus's own tokens; value is
+            # decoded UTF-8 bytes per second (same denominator as encode).
+            # "decode" = the engine default (vectorized host gather);
+            # "device-decode" = the on-device formulation.
+            token_lists = eng.encode_ordinary_batch_arrays(None, plan=plan)
+            dec = (eng.decode_bytes_batch_device if mode == "device-decode"
+                   else eng.decode_bytes_batch)
+            dec(token_lists)  # warm
+            elapsed, out = _best_of(passes, lambda: dec(token_lists))
+            assert sum(len(b) for b in out) == nbytes
         else:
             eng.encode_ordinary_batch_arrays(None, plan=plan)  # warm
             if mode == "device-lists":

@@ -250,6 +250,20 @@ class DeviceEngine:
 
         self._slice_tokens = _slice_pack_fn
 
+        self._slice_bytes_jits = {}
+
+        def _slice_bytes_fn(pad: int):
+            fn = self._slice_bytes_jits.get(pad)
+            if fn is None:
+                fn = jax.jit(
+                    functools.partial(jax.lax.dynamic_slice_in_dim,
+                                      start_index=0, slice_size=pad, axis=0)
+                )
+                self._slice_bytes_jits[pad] = fn
+            return fn
+
+        self._slice_bytes = _slice_bytes_fn
+
         # jitted small-meta packers, keyed by the ok-chunk signature: the
         # unjitted per-chunk concat chain costs ~0.4 s of pure dispatch on a
         # 16-chunk corpus
@@ -751,41 +765,104 @@ class DeviceEngine:
                 total += sum(len(t) for t in tmp)
         return total
 
-    def decode_bytes_batch(self, token_lists) -> List[bytes]:
-        """Device-gathered decode for batches of plain vocab ids.
+    def decode_bytes_batch_host(self, token_lists) -> List[bytes]:
+        """Vectorized host decode: one fancy-index gather over the packed
+        byte pool (numpy). Decode output is host bytes by definition, so
+        this is the default engine — no device transfer on the critical
+        path; the device formulation (:meth:`decode_bytes_batch_device`)
+        serves device-resident consumers.
 
         Lists containing special-token or out-of-vocab ids fall back to the
         host oracle per list (preserving its error/special semantics).
         """
-        out: List[Optional[bytes]] = [None] * len(token_lists)
-        flat: List[int] = []
-        splits: List[Tuple[int, int, int]] = []  # (list_idx, lo, hi)
+        n_lists = len(token_lists)
+        out: List[Optional[bytes]] = [None] * n_lists
+        arrs: List[np.ndarray] = []
+        splits: List[Tuple[int, int, int]] = []
+        pos = 0
         for i, toks in enumerate(token_lists):
-            arr = np.asarray(list(toks), dtype=np.int64)
+            arr = (
+                toks.astype(np.int64)
+                if isinstance(toks, np.ndarray)
+                else np.asarray(list(toks), dtype=np.int64)
+            )
             if len(arr) and (
                 arr.min() < 0 or arr.max() >= self.packed.n_tokens
             ):
                 out[i] = self.oracle.decode_bytes(arr.tolist())
             else:
-                splits.append((i, len(flat), len(flat) + len(arr)))
-                flat.extend(arr.tolist())
-        if flat:
-            T = _next_pow2(len(flat), 1024)
-            tokens = np.full(T, -1, dtype=np.int32)
-            tokens[: len(flat)] = flat
-            cap = T * 8
-            data, n_bytes = self._decode_fn(
-                jnp.asarray(tokens), len(flat), cap
-            )
-            if int(n_bytes) > cap:  # rare: very long average tokens
-                cap = T * self.packed.max_token_len
-                data, n_bytes = self._decode_fn(
-                    jnp.asarray(tokens), len(flat), cap
-                )
-            data = np.asarray(data[: int(n_bytes)]).tobytes()
-            # per-list byte offsets from token lengths
-            lens = self.packed.token_lengths[np.asarray(flat, dtype=np.int64)]
+                splits.append((i, pos, pos + len(arr)))
+                arrs.append(arr)
+                pos += len(arr)
+        if pos:
+            flat = np.concatenate(arrs)
+            lens = self.packed.token_lengths[flat].astype(np.int64)
             byte_ends = np.cumsum(lens)
+            total = int(byte_ends[-1])
+            # pool index of output byte p from token t: pool_start[t] +
+            # (p - out_start[t]); fold per-token terms, then one gather
+            adj = self.packed.token_offsets[flat].astype(np.int64) - (
+                byte_ends - lens
+            )
+            src = np.repeat(np.arange(len(flat)), lens)
+            data_arr = self.packed.token_bytes[
+                adj[src] + np.arange(total)
+            ]
+            data = data_arr.tobytes()
+            for i, lo, hi in splits:
+                blo = 0 if lo == 0 else int(byte_ends[lo - 1])
+                bhi = 0 if hi == 0 else int(byte_ends[hi - 1])
+                out[i] = data[blo:bhi]
+        return [b if b is not None else b"" for b in out]
+
+    def decode_bytes_batch(self, token_lists) -> List[bytes]:
+        return self.decode_bytes_batch_host(token_lists)
+
+    def decode_bytes_batch_device(self, token_lists) -> List[bytes]:
+        """Device-gathered decode for batches of plain vocab ids
+        (scatter + Pallas block-carry cummax + two per-byte gathers).
+
+        Lists containing special-token or out-of-vocab ids fall back to the
+        host oracle per list (preserving its error/special semantics).
+        """
+        n_lists = len(token_lists)
+        out: List[Optional[bytes]] = [None] * n_lists
+        arrs: List[np.ndarray] = []
+        splits: List[Tuple[int, int, int]] = []  # (list_idx, lo, hi)
+        pos = 0
+        for i, toks in enumerate(token_lists):
+            arr = (
+                toks.astype(np.int64)
+                if isinstance(toks, np.ndarray)
+                else np.asarray(list(toks), dtype=np.int64)
+            )
+            if len(arr) and (
+                arr.min() < 0 or arr.max() >= self.packed.n_tokens
+            ):
+                out[i] = self.oracle.decode_bytes(arr.tolist())
+            else:
+                splits.append((i, pos, pos + len(arr)))
+                arrs.append(arr)
+                pos += len(arr)
+        if pos:
+            flat = np.concatenate(arrs)
+            T = _next_pow2(pos, 1024)
+            tokens = np.full(T, -1, dtype=np.int32)
+            tokens[:pos] = flat
+            lens = self.packed.token_lengths[flat]
+            byte_ends = np.cumsum(lens)
+            total_bytes = int(byte_ends[-1])
+            # tight quantized output capacity (total byte count is known on
+            # host): per-byte gather work tracks content, not a T*8 guess
+            cap = _next_pow2(total_bytes, 8192)
+            data_dev, _n_bytes = self._decode_fn(
+                jnp.asarray(tokens), pos, cap
+            )
+            # quantized-prefix fetch, same protocol as the token fetch
+            pad = min(_next_pow2(total_bytes, 8192), cap)
+            sliced = self._slice_bytes(pad)(data_dev)
+            sliced.copy_to_host_async()
+            data = np.asarray(sliced)[:total_bytes].tobytes()
             for i, lo, hi in splits:
                 blo = 0 if lo == 0 else int(byte_ends[lo - 1])
                 bhi = 0 if hi == 0 else int(byte_ends[hi - 1])
