@@ -87,7 +87,18 @@ class GptBytePairEncoding(Encoding):
                             self._native_engine = NativeEngine(
                                 packed, self._params.pattern
                             )
-                        except Exception:
+                        except Exception as e:
+                            # degrading to the Python oracle is a ~100x
+                            # single-text slowdown — make it visible
+                            import warnings
+
+                            warnings.warn(
+                                "jtokkit_tpu: native host engine unavailable"
+                                f" ({e!r}); single-text calls fall back to"
+                                " the Python oracle",
+                                RuntimeWarning,
+                                stacklevel=2,
+                            )
                             self._native_engine = None
         return self._native_engine
 

@@ -312,7 +312,16 @@ class DeviceEngine:
                 try:
                     from ..native import NativeEngine
                     self._native = NativeEngine(self.packed, self.pattern)
-                except Exception:
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(
+                        "jtokkit_tpu: native host engine unavailable"
+                        f" ({e!r}); long-piece chunks stay on the slower"
+                        " device merge path",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                     self._native = None
         return self._native
 
