@@ -125,8 +125,21 @@ def class_table() -> np.ndarray:
             pass
     table = _build_class_table()
     try:
+        # stale tmp files from crashed writers (and from a historical bug
+        # where np.save appended .npy to the tmp name, breaking os.replace)
+        base = os.path.basename(path)
+        d = os.path.dirname(path)
+        for f in os.listdir(d):
+            if f.startswith(f"{base}.tmp."):
+                try:
+                    os.remove(os.path.join(d, f))
+                except OSError:
+                    pass
+        # np.save appends .npy unless the name already ends with it, so
+        # write through an open file handle to keep the tmp name exact
         tmp = f"{path}.tmp.{os.getpid()}"
-        np.save(tmp, table)
+        with open(tmp, "wb") as fh:
+            np.save(fh, table)
         os.replace(tmp, path)
     except OSError:
         pass  # read-only install: keep in memory only
