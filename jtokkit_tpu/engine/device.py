@@ -98,6 +98,22 @@ def _next_pow2(n: int, floor: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
+class CorpusPlan(list):
+    """Chunk plan (list of chunk entries) + steady-state dispatch cache.
+
+    ``chunk_cache`` (set after the first full pass) holds per-chunk routing
+    and bucket capacities so later passes skip the stage-A metadata sync;
+    ``n_tokens``/``doc_counts`` (set by the first *encode* pass) additionally
+    let later encode passes skip the small-meta fetch — steady state then
+    has zero mid-pass syncs. All cached values are data-derived from the
+    plan's immutable buffers, so reuse is exact.
+    """
+
+    chunk_cache = None   # list[dict] per chunk: kind/variant/divs/caps
+    n_tokens = None      # list[int] per ok-chunk live token count
+    doc_counts = None    # list[np.ndarray] per ok-chunk per-doc counts
+
+
 class DeviceEngine:
     """JAX/TPU encode engine for one encoding (built-in patterns only)."""
 
@@ -303,20 +319,26 @@ class DeviceEngine:
     def _native_engine(self):
         """Lazy optional native host engine (long-piece chunk routing).
 
-        Disable with JTOKKIT_TPU_NATIVE_LONG=0; silently absent when the
-        toolchain/library is unavailable (the device path handles those
-        chunks itself, just slower)."""
+        Disable with JTOKKIT_TPU_NATIVE_LONG=0. When the shared library
+        simply isn't built (no toolchain — an expected pure-Python install)
+        the engine is silently absent and the device path handles those
+        chunks itself, just slower; an UNEXPECTED construction failure
+        (library present but broken) emits a RuntimeWarning."""
         if not self._native_tried:
             self._native_tried = True
             if os.environ.get("JTOKKIT_TPU_NATIVE_LONG", "1") != "0":
                 try:
                     from ..native import NativeEngine
                     self._native = NativeEngine(self.packed, self.pattern)
+                except RuntimeError:
+                    # "native engine unavailable": not built / no toolchain —
+                    # the expected configuration without a C++ compiler
+                    self._native = None
                 except Exception as e:
                     import warnings
 
                     warnings.warn(
-                        "jtokkit_tpu: native host engine unavailable"
+                        "jtokkit_tpu: native host engine failed to load"
                         f" ({e!r}); long-piece chunks stay on the slower"
                         " device merge path",
                         RuntimeWarning,
@@ -518,9 +540,16 @@ class DeviceEngine:
         The returned plan can be passed to the batch methods repeatedly —
         the TPU analog of the reference benchmark's RAM-preloaded corpus
         (``benchmark/README.md:9-11``): steady-state encode passes then pay
-        no host→device uploads.
+        no host→device uploads. After the first full pass the plan also
+        carries the data-derived *dispatch metadata* (per-chunk routing,
+        bucket capacities, token/doc counts), so steady-state passes run
+        with ZERO mid-pass device→host syncs: every stage dispatches
+        asynchronously and the only transfers are the final token fetches,
+        which all overlap each other and any in-flight compute. Tokens are
+        still computed on device from the raw bytes on every pass — only
+        shapes/routing are reused, never results.
         """
-        plan = []
+        plan = CorpusPlan()
         for buf, doc_ends, parts, ascii_only in self._plan_chunks(texts):
             plan.append(
                 (buf, doc_ends, parts, ascii_only,
@@ -528,11 +557,65 @@ class DeviceEngine:
             )
         return plan
 
+    def _process_chunks_cached(self, plan, want_tokens: bool):
+        """Steady-state pipeline: dispatch every chunk's stages back-to-back
+        using the plan's cached routing/capacities — no host syncs at all."""
+        results = []
+        for (buf, doc_ends, parts, _ascii, buf_dev, de_dev), c in zip(
+            plan, plan.chunk_cache
+        ):
+            if c["kind"] != "ok":
+                results.append((c["kind"], buf, doc_ends, parts))
+                continue
+            table, _meta = self._stage_a(c["variant"], c["divs"])(
+                buf_dev, de_dev
+            )
+            t = table
+            counts = self._counts_init(t.hit, t.n_pieces)
+            bucket_outs = []
+            for (b, lanes, cap, cnt) in c["caps"]:
+                cols, outs = self._merge_bucket_fn(lanes, cap)(
+                    buf_dev, t.starts, t.lens, t.miss_sorted,
+                    t.group_start[b], jnp.int32(cnt),
+                    self._byte_to_id, self._byte_pair_seed,
+                    self._pair_rows0, self._pair_rows1,
+                    self.packed.table_mask,
+                )
+                for ids_k, act_k in outs:
+                    counts = self._counts_add(counts, cols, act_k)
+                bucket_outs.append((cols, outs))
+            offsets, n_tokens = self._make_offsets(counts, t.n_pieces)
+            if want_tokens:
+                tokens = self._scatter_hits(
+                    len(buf), t.hit, offsets, t.n_pieces
+                )
+                for cols, outs in bucket_outs:
+                    for ids_k, act_k in outs:
+                        tokens = self._scatter_bucket(
+                            tokens, ids_k, act_k, cols, offsets
+                        )
+            else:
+                tokens = None
+            # per-doc counts are plan-stable: only dispatch them until the
+            # first encode pass has fetched and cached them
+            if want_tokens and plan.doc_counts is None:
+                doc_counts = self._doc_counts(
+                    offsets, n_tokens, t.starts, de_dev, t.n_pieces
+                )
+            else:
+                doc_counts = None
+            results.append(("ok", parts, tokens, n_tokens, doc_counts))
+        return results
+
     def _process_chunks(self, texts, want_tokens: bool, plan=None):
         """Run the staged pipeline over all chunks with two batched host
-        syncs: one for stage-A metadata, one for final outputs."""
+        syncs: one for stage-A metadata, one for final outputs. With a
+        warmed plan (``plan.chunk_cache`` set by a prior pass) the metadata
+        sync is skipped entirely — see :meth:`_process_chunks_cached`."""
         if plan is None:
             plan = self.preload_corpus(texts)
+        if getattr(plan, "chunk_cache", None) is not None:
+            return self._process_chunks_cached(plan, want_tokens)
         staged = []
         for buf, doc_ends, parts, ascii_only, buf_dev, doc_ends_dev in plan:
             variant = "ascii" if ascii_only else "unicode"
@@ -541,7 +624,7 @@ class DeviceEngine:
                 buf_dev, doc_ends_dev
             )
             staged.append([buf, doc_ends, parts, variant, table, meta,
-                           buf_dev, doc_ends_dev])
+                           buf_dev, doc_ends_dev, divs])
 
         # sync round 1: ONE fetch of all chunk metas
         metas = (
@@ -559,6 +642,7 @@ class DeviceEngine:
             if ov & stage4.OVERFLOW_CAPACITY:
                 table, meta = self._stage_a(s[3], _DIVS_ROOMY)(s[6], s[7])
                 s[4], s[5] = table, meta
+                s[8] = _DIVS_ROOMY
                 retried.append(i)
         if retried:
             re_metas = np.asarray(jnp.stack([staged[i][5] for i in retried]))
@@ -573,14 +657,16 @@ class DeviceEngine:
         ]
 
         results = []
+        cache = []
         for i, (buf, doc_ends, parts, variant, t, _meta, buf_dev,
-                _de_dev) in enumerate(staged):
+                _de_dev, divs) in enumerate(staged):
             overflow = int(metas[i][0])
             bucket_counts = metas[i][2:]
             if overflow & stage4.OVERFLOW_PIECE_LEN or (
                 overflow & stage4.OVERFLOW_CAPACITY
             ):
                 results.append(("fallback", buf, doc_ends, parts))
+                cache.append({"kind": "fallback"})
                 continue
             # route when long pieces plausibly cover >25% of the chunk's
             # bytes (counts x bucket width is an upper bound on their bytes)
@@ -590,15 +676,18 @@ class DeviceEngine:
             ))
             if long_bytes * 4 > len(buf) and self._native_engine() is not None:
                 results.append(("native", buf, doc_ends, parts))
+                cache.append({"kind": "native"})
                 continue
             N = len(buf)
             counts = self._counts_init(t.hit, t.n_pieces)
             bucket_outs = []
+            caps = []
             for b, lanes in enumerate(stage4.BUCKET_WIDTHS):
                 cnt = int(bucket_counts[b])
                 if cnt == 0:
                     continue
                 cap = self._bucket_cap(N, lanes, cnt)
+                caps.append((b, lanes, cap, cnt))
                 cols, outs = self._merge_bucket_fn(lanes, cap)(
                     buf_dev, t.starts, t.lens, t.miss_sorted,
                     t.group_start[b], jnp.int32(cnt),
@@ -622,6 +711,11 @@ class DeviceEngine:
                 offsets, n_tokens, t.starts, staged[i][7], t.n_pieces
             )
             results.append(("ok", parts, tokens, n_tokens, doc_counts))
+            cache.append({
+                "kind": "ok", "variant": variant, "divs": divs, "caps": caps,
+            })
+        if isinstance(plan, CorpusPlan):
+            plan.chunk_cache = cache
         return results
 
     # ------------------------------------------------------------------
@@ -649,13 +743,27 @@ class DeviceEngine:
         )
         parts_out: List[List[np.ndarray]] = [[] for _ in range(n_docs)]
         results = self._process_chunks(texts, want_tokens=True, plan=plan)
-        # sync round 2a: ONE jitted pack + fetch of every chunk's
-        # (n_tokens, doc_counts); layout = all n_tokens, then doc_counts
         ok = [r for r in results if r[0] == "ok"]
-        if ok:
+        cached = (
+            isinstance(plan, CorpusPlan) and plan.n_tokens is not None
+        )
+        if ok and not cached:
+            # sync round 2a: ONE jitted pack + fetch of every chunk's
+            # (n_tokens, doc_counts); layout = all n_tokens, then doc_counts.
+            # These are plan-stable, so a warmed plan skips this sync — the
+            # steady-state pass is pure async dispatch + token fetches.
             small = np.asarray(self._pack_metas(
                 [r[3] for r in ok], [r[4] for r in ok]
             ))
+            if isinstance(plan, CorpusPlan):
+                plan.n_tokens = [int(small[k]) for k in range(len(ok))]
+                dcs = []
+                pos = len(ok)
+                for r in ok:
+                    d_size = int(r[4].shape[0])
+                    dcs.append(np.asarray(small[pos : pos + len(r[1])]))
+                    pos += d_size
+                plan.doc_counts = dcs
         # slice every chunk's live prefix, pack to 2 B/token (+1-bit plane
         # when ids exceed 16 bits), and start all D2H copies before
         # consuming any (sequential per-array fetches serialize on tunnel
@@ -668,10 +776,14 @@ class DeviceEngine:
                 fetches.append(None)
                 continue
             _, parts, tokens_dev, _n_dev, doc_counts_dev = res
-            d_size = int(doc_counts_dev.shape[0])
-            n_tokens = int(small[oki])
-            doc_counts = small[pos : pos + len(parts)]
-            pos += d_size
+            if cached:
+                n_tokens = plan.n_tokens[oki]
+                doc_counts = plan.doc_counts[oki]
+            else:
+                n_tokens = int(small[oki])
+                d_size = int(doc_counts_dev.shape[0])
+                doc_counts = small[pos : pos + len(parts)]
+                pos += d_size
             oki += 1
             if n_tokens:
                 pad = min(_next_pow2(n_tokens, 8192), tokens_dev.shape[0])

@@ -17,11 +17,14 @@ import numpy as np
 
 
 def timeit(fn, n=5):
-    jax.block_until_ready(fn())
+    # through the axon tunnel block_until_ready does not reliably wait;
+    # force completion by fetching the scalar result (constant ~fetch
+    # latency cancels in the checkpoint deltas)
+    np.asarray(fn())
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        np.asarray(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -55,6 +58,11 @@ def main(mb=8.0, flavor="english"):
     pattern = eng.pattern
 
     def prefix(stop):
+        # NOTE: this body intentionally mirrors stage4.stage_a_v4 (the
+        # classify/boundaries/positions/fields/wordprobe/misspos/argsort
+        # sections of jtokkit_tpu/ops/stage4.py:452-571) so each checkpoint
+        # can cut the program at a sub-stage; keep the two in sync when
+        # stage_a_v4 changes.
         def fn(buf, doc_ends):
             D = doc_ends.shape[0]
             idx = jnp.arange(N, dtype=jnp.int32)
@@ -160,7 +168,7 @@ def main(mb=8.0, flavor="english"):
 
     f_sort = jax.jit(lambda m: jnp.sort(
         jnp.where(m.reshape(-1, 128),
-                  jnp.arange(N, jnp.int32).reshape(-1, 128),
+                  jnp.arange(N, dtype=jnp.int32).reshape(-1, 128),
                   jnp.int32(N)), axis=1).sum())
     t = timeit(lambda: f_sort(mask_dev))
     print(f"row sort [N/128,128] alone: {t*1e3:.2f} ms", flush=True)

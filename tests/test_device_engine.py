@@ -102,3 +102,29 @@ def test_public_batch_uses_device():
     texts = ["Hello, world!", "I'm 42 — ĄĘ中🙂", ""]
     assert enc.device_engine() is not None
     assert enc.encode_ordinary_batch(texts) == [enc.encode_ordinary(t) for t in texts]
+
+
+def test_plan_cache_steady_state():
+    """A warmed CorpusPlan must reproduce first-pass results exactly with
+    zero mid-pass metadata syncs (steady-state bench protocol)."""
+    orc, dev = engines("cl100k_base")
+    texts = [
+        "Steady state pass %d: the quick brown fox jumps. " % i * (1 + i % 4)
+        for i in range(12)
+    ] + ["日本語テキスト " * 6, "", "punct!!! ??? \n\n  mixed 12345"]
+    expect = [orc.encode_ordinary(t)[0] for t in texts]
+
+    plan = dev.preload_corpus(texts)
+    assert plan.chunk_cache is None
+    total1 = dev.count_tokens_corpus(texts, plan=plan)
+    assert plan.chunk_cache is not None, "first pass must warm the plan"
+    # second count pass takes the cached-dispatch path
+    assert dev.count_tokens_corpus(texts, plan=plan) == total1
+    assert total1 == sum(len(e) for e in expect)
+
+    # first encode pass populates n_tokens/doc_counts; second reuses them
+    got1 = dev.encode_ordinary_batch_arrays(None, plan=plan)
+    assert plan.n_tokens is not None and plan.doc_counts is not None
+    got2 = dev.encode_ordinary_batch_arrays(None, plan=plan)
+    assert [g.tolist() for g in got1] == expect
+    assert [g.tolist() for g in got2] == expect

@@ -49,9 +49,14 @@ tok = ShardedTokenizer(eng, mesh)
 texts = [f"process-global doc {i}: some text to tokenize across hosts. "
          * (1 + i % 3) for i in range(16)] + ["日本語テキスト " * 8]
 total = tok.count_tokens_corpus(texts)
-expect = sum(len(orc.encode_ordinary(t)[0]) for t in texts)
-assert total == expect, (total, expect)
+expect = [orc.encode_ordinary(t)[0] for t in texts]
+assert total == sum(len(e) for e in expect), (total, "count mismatch")
 print(f"proc {pid}: psum count ok ({total})", flush=True)
+
+# encode across processes: exercises the process_allgather token fetch
+got = tok.encode_ordinary_batch(texts)
+assert got == expect, "multi-process sharded encode diverged from oracle"
+print(f"proc {pid}: allgather encode ok", flush=True)
 """
 
 
@@ -63,7 +68,8 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(600)
+# no pytest-timeout plugin in this environment; the hard guard is the
+# communicate(timeout=560) below, which kills a hung child deterministically
 def test_two_process_distributed_count():
     port = _free_port()
     env = dict(os.environ)
@@ -81,9 +87,16 @@ def test_two_process_distributed_count():
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=560)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # exact child PIDs we started, never by pattern
+        raise
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert "psum count ok" in out, out[-3000:]
+        assert "allgather encode ok" in out, out[-3000:]
