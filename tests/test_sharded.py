@@ -65,3 +65,34 @@ def test_sharded_empty():
     assert tok.encode_ordinary_batch([]) == []
     assert tok.count_tokens_corpus([]) == 0
     assert tok.encode_ordinary_batch(["", ""]) == [[], []]
+
+
+def test_sharded_plan_reuse():
+    """Preloaded plan: repeated passes re-compute on device but skip the
+    re-shard/re-upload/meta sync, and results stay exact."""
+    orc, tok = sharded()
+    plan = tok.preload_corpus(TEXTS)
+    expect = [orc.encode_ordinary(t)[0] for t in TEXTS]
+    total = sum(len(e) for e in expect)
+    assert tok.count_tokens_corpus(None, plan=plan) == total
+    assert tok.count_tokens_corpus(None, plan=plan) == total
+    for _ in range(2):
+        got = tok.encode_ordinary_batch_arrays(None, plan=plan)
+        assert [g.tolist() for g in got] == expect
+
+
+def test_sharded_long_piece_degrades_only_that_doc():
+    """A single pathological document (one >4096-byte regex piece) must NOT
+    drag the whole corpus off the mesh: only its shard takes the single-chip
+    engine fallback, every other document stays on the sharded path."""
+    orc, tok = sharded()
+    texts = list(TEXTS) + ["a" * 5000]  # one 5000-byte letter-run piece
+    plan = tok.preload_corpus(texts)
+    assert plan.bad_shards, "pathological doc should overflow its shard"
+    assert len(plan.bad_shards) < tok.n_dev, "only one shard should degrade"
+    expect = [orc.encode_ordinary(t)[0] for t in texts]
+    got = tok.encode_ordinary_batch_arrays(None, plan=plan)
+    assert [g.tolist() for g in got] == expect
+    assert tok.count_tokens_corpus(None, plan=plan) == sum(
+        len(e) for e in expect
+    )
