@@ -22,7 +22,8 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 MODES = ["device", "device-lists", "device-count", "decode", "device-decode",
-         "host", "native", "native-mt", "tiktoken"]
+         "host", "native", "native-mt", "tiktoken", "sharded",
+         "sharded-count"]
 
 
 def main():
@@ -39,11 +40,35 @@ def main():
     p.add_argument("--sweep", action="store_true",
                    help="native thread-scaling sweep (reference analog of "
                         "AbstractMultiThreadedBenchmark 1..64 threads)")
+    p.add_argument("--scaling", action="store_true",
+                   help="sharded weak-scaling sweep on a virtual 8-device "
+                        "CPU mesh (multi-chip efficiency; the reference "
+                        "analog is the 1..64-thread JMH table)")
     p.add_argument("--threads", type=int, default=None,
                    help="thread count for native-mt")
+    p.add_argument("--fast", action="store_true",
+                   help="headline only: skip the companion detail sweep "
+                        "(other encodings / cjk / count mode)")
     args = p.parse_args()
 
     from jtokkit_tpu import bench
+
+    if args.scaling:
+        # weak-scaling needs >1 device: force the virtual CPU mesh (the
+        # axon TPU tunnel exposes ONE chip; multi-chip efficiency mechanics
+        # are validated on the virtual mesh, per the driver's dryrun model)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+        rows = bench.run_scaling(
+            mb_per_dev=min(args.mb / 8, 2.0), encoding=args.encoding,
+            flavor=args.flavor,
+        )
+        for r in rows:
+            print(json.dumps(r), flush=True)
+        print(json.dumps(rows[-1]))
+        return
 
     if args.sweep:
         import os as _os
@@ -96,6 +121,46 @@ def main():
     )
     out = {k: result[k] for k in ("metric", "value", "unit", "vs_baseline")}
     out["detail"] = result["detail"]
+    # the headline is HONEST device encode: every doc's token ids land in
+    # host RAM each pass (device-count omits the token fetch; lists adds
+    # Python list conversion). Recorded so BENCH artifacts self-describe.
+    out["detail"]["mode_semantics"] = (
+        "device=encode with full token materialization to host RAM; "
+        "device-count=token counting only (no token fetch); "
+        "sharded=data-parallel mesh encode"
+    )
+    default_headline = (
+        args.mode == "device" and args.encoding == "cl100k_base"
+        and args.flavor == "english" and not args.smoke
+    )
+    if default_headline and not args.fast:
+        # companion detail sweep: the whole picture in ONE driver artifact
+        # (reference reports all four encodings, jtokkit.txt:26-29, and the
+        # CJK stress is BASELINE.json config 3)
+        companions = []
+        for enc, flavor, mode, mb in (
+            ("cl100k_base", "english", "device-count", args.mb),
+            ("cl100k_base", "cjk", "device", 4),
+            ("cl100k_base", "mixed", "device", 8),
+            ("r50k_base", "english", "device", 8),
+            ("p50k_base", "english", "device", 8),
+            ("p50k_edit", "english", "device", 8),
+            ("cl100k_base", "english", "sharded", 8),
+        ):
+            try:
+                r = bench.run(mb=mb, encoding=enc, mode=mode, flavor=flavor,
+                              passes=3)
+                companions.append({
+                    "metric": r["metric"], "value": r["value"],
+                    "unit": r["unit"], "vs_baseline": r["vs_baseline"],
+                    "flavor": flavor,
+                    "corpus_mb": r["detail"]["corpus_mb"],
+                })
+            except Exception as e:  # a companion must never kill the run
+                companions.append({
+                    "metric": f"{enc} {mode} {flavor}", "error": repr(e)[:200],
+                })
+        out["detail"]["companions"] = companions
     print(json.dumps(out))
 
 

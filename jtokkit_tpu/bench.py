@@ -38,7 +38,7 @@ BASELINE_MBPS = {
 
 MODES = (
     "device", "device-lists", "device-count", "decode", "device-decode",
-    "host", "native", "native-mt", "tiktoken",
+    "host", "native", "native-mt", "tiktoken", "sharded", "sharded-count",
 )
 
 
@@ -147,6 +147,45 @@ def run(
             passes, lambda: tk.encode_ordinary_batch(docs)
         )
         total = sum(len(t) for t in out)
+    elif mode in ("sharded", "sharded-count"):
+        # data-parallel path over ALL visible devices (1-chip TPU: a 1-wide
+        # mesh — sanity point; virtual CPU meshes exercise real scaling).
+        # Mirrors the reference's multi-thread JMH fan-out
+        # (benchmark/.../AbstractMultiThreadedBenchmark.java:35-45).
+        import jax as _jax
+
+        from .engine.device import DeviceEngine
+        from .parallel.mesh import data_mesh
+        from .parallel.sharded import ShardedTokenizer
+
+        eng = DeviceEngine.from_oracle(orc)
+        tok = ShardedTokenizer(eng, data_mesh())
+        plan = tok.preload_corpus(docs)
+        total = tok.count_tokens_corpus(None, plan=plan)  # warm + compile
+        if mode == "sharded-count":
+            elapsed, got = _best_of(
+                passes, lambda: tok.count_tokens_corpus(None, plan=plan)
+            )
+            assert got == total
+        else:
+            tok.encode_ordinary_batch_arrays(None, plan=plan)  # warm
+            elapsed, out = _best_of(
+                passes,
+                lambda: tok.encode_ordinary_batch_arrays(None, plan=plan),
+            )
+            assert sum(len(a) for a in out) == total
+        detail["n_devices"] = tok.n_dev
+        detail["backend"] = _jax.default_backend()
+        if verify:
+            import random
+
+            rng = random.Random(0)
+            sample = rng.sample(range(len(docs)), min(3, len(docs)))
+            enc_out = tok.encode_ordinary_batch([docs[i] for i in sample])
+            for k, i in enumerate(sample):
+                assert enc_out[k] == orc.encode_ordinary(docs[i])[0], (
+                    f"sharded parity failure on doc {i}"
+                )
     else:
         from .engine.device import DeviceEngine
 
@@ -201,6 +240,8 @@ def run(
     baseline = BASELINE_MBPS.get(encoding, BASELINE_MBPS["cl100k_base"])
     where = "host" if mode in ("host", "native", "native-mt", "tiktoken") \
         else "1 chip"
+    if mode in ("sharded", "sharded-count"):
+        where = f"{detail['n_devices']}-dev mesh"
     detail.update({
         "corpus_mb": round(nbytes / 1e6, 2),
         "flavor": flavor,
@@ -217,3 +258,73 @@ def run(
         "vs_baseline": round(mbps / baseline, 2),
         "detail": detail,
     }
+
+
+def run_scaling(
+    mb_per_dev: float = 4.0,
+    encoding: str = "cl100k_base",
+    flavor: str = "english",
+    passes: int = 3,
+    sizes=None,
+) -> list:
+    """Weak-scaling sweep over data-parallel mesh sizes.
+
+    Reference analog: the 1..64-thread JMH scaling table
+    (``benchmark/reports/jtokkit.txt:1-29``). Each mesh size n gets a corpus
+    of ``n * mb_per_dev`` MB (weak scaling: per-device work constant);
+    throughput is steady-state ``count_tokens_corpus`` (pure device compute
+    + the psum collective, no token fetch). Efficiency(n) =
+    mbps(n) / (n * mbps(1)) — the ≥90% north-star metric (BASELINE.md).
+    """
+    import jax as _jax
+
+    from .engine.device import DeviceEngine
+    from .engine.oracle import OracleEngine
+    from .parallel.mesh import data_mesh
+    from .parallel.sharded import ShardedTokenizer
+    from .utils.corpus import generate
+    from .vocab.definitions import BUILTIN_DEFINITIONS
+    from .vocab.loader import load_builtin_ranks
+
+    d = BUILTIN_DEFINITIONS[encoding]
+    orc = OracleEngine(
+        d.name, d.pattern, load_builtin_ranks(d.vocab_name), d.special_tokens
+    )
+    eng = DeviceEngine.from_oracle(orc)
+    n_all = len(_jax.devices())
+    if sizes is None:
+        sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_all]
+    rows = []
+    base_mbps = None
+    for n in sizes:
+        tok = ShardedTokenizer(eng, data_mesh(_jax.devices()[:n]))
+        docs = generate(mb_per_dev * n, seed=0, flavor=flavor)
+        nbytes = sum(len(t.encode("utf-8")) for t in docs)
+        plan = tok.preload_corpus(docs)
+        total = tok.count_tokens_corpus(None, plan=plan)  # warm + compile
+        elapsed, got = _best_of(
+            passes, lambda: tok.count_tokens_corpus(None, plan=plan)
+        )
+        assert got == total
+        mbps = nbytes / elapsed / 1e6
+        if base_mbps is None:
+            base_mbps = mbps
+        rows.append({
+            "metric": f"{encoding} sharded count weak-scaling",
+            "value": round(mbps, 2),
+            "unit": "MB/s",
+            "vs_baseline": round(
+                mbps / BASELINE_MBPS.get(encoding,
+                                         BASELINE_MBPS["cl100k_base"]), 2
+            ),
+            "detail": {
+                "n_devices": n,
+                "backend": _jax.default_backend(),
+                "corpus_mb": round(nbytes / 1e6, 2),
+                "flavor": flavor,
+                "tokens": int(total),
+                "seconds": round(elapsed, 3),
+                "efficiency": round(mbps / (n * base_mbps), 3),
+            },
+        })
+    return rows
