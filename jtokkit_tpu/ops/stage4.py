@@ -413,6 +413,73 @@ def masked_positions(mask, size: int, fill):
     return jnp.where(p < total, out, jnp.int32(fill))
 
 
+def masked_rows(mask, fields, size: int, fill):
+    """Positions of True bits AND their field rows, in ONE stitch gather.
+
+    Equivalent to ``pos = nonzero(mask)[0]; rows = fields[pos]`` but priced
+    as a single [size, F+1] ROW gather instead of a scalar position gather
+    followed by a second row gather: gather cost on this hardware is per
+    ROW (~2.9 ns) rather than per element, so folding the position into the
+    field row halves the stitch cost of stage A (measured in
+    ``scripts/profile_stage_a_v4.py``).
+
+    How: like :func:`masked_positions`, each 128-lane row is compacted by a
+    lane sort — but a VARIADIC ``lax.sort`` carries the field columns along
+    with the position key, so the stitched row gather reads (pos, fields...)
+    together. Junk tail slots (key = N) may permute arbitrarily (the sort
+    is not stable across equal keys); they are never consumed because the
+    stitch maps output slot p < total into its owning row's live prefix.
+
+    Args:
+      mask: bool[N], N a multiple of 128 with >= 8 rows (else fallback).
+      fields: int32[N, F] per-position payload (F small; 3 keeps the
+        gathered row at the measured-optimal width 4).
+      size: static output capacity.
+      fill: position fill value for slots >= popcount(mask).
+
+    Returns (pos int32[size], rows int32[size, F]); rows at dead slots are
+    junk (callers mask by validity).
+    """
+    N = mask.shape[0]
+    n_rows = N // 128
+    F = fields.shape[1]
+    if N % 128 or n_rows < 8:
+        pos = jnp.nonzero(mask, size=size, fill_value=fill)[0].astype(
+            jnp.int32
+        )
+        return pos, jnp.take(
+            fields, jnp.clip(pos, 0, N - 1), axis=0, mode="clip"
+        )
+    m2 = mask.reshape(n_rows, 128)
+    idx2 = jnp.arange(N, dtype=jnp.int32).reshape(n_rows, 128)
+    keys = jnp.where(m2, idx2, jnp.int32(N))
+    ops = [keys] + [
+        fields[:, j].reshape(n_rows, 128) for j in range(F)
+    ]
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    comb = jnp.stack([s.reshape(-1) for s in sorted_ops], axis=1)  # [N, F+1]
+
+    rowcount = m2.sum(axis=1).astype(jnp.int32)
+    incl = jnp.cumsum(rowcount).astype(jnp.int32)  # tiny (n_rows)
+    rowstart = incl - rowcount
+    total = incl[n_rows - 1]
+    r_iota = jnp.arange(n_rows, dtype=jnp.int32)
+    marks_row = jnp.full((size,), -1, jnp.int32).at[rowstart].max(
+        r_iota, mode="drop"
+    )
+    marks_off = jnp.full((size,), -1, jnp.int32).at[rowstart].max(
+        rowstart, mode="drop"
+    )
+    row_of, off_of = pallas_scan.scan_leaves(
+        [marks_row, marks_off], ["max", "max"]
+    )
+    p = jnp.arange(size, dtype=jnp.int32)
+    flat_idx = jnp.clip(row_of * 128 + (p - off_of), 0, N - 1)
+    out = jnp.take(comb, flat_idx, axis=0, mode="clip")  # [size, F+1]
+    pos = jnp.where(p < total, out[:, 0], jnp.int32(fill))
+    return pos, out[:, 1:]
+
+
 class PieceTableV4(NamedTuple):
     """Stage-A v4 output; all device-resident."""
 
@@ -490,12 +557,11 @@ def stage_a_v4(
     )
 
     n_pieces = mask.sum().astype(jnp.int32)
-    starts = masked_positions(mask, P, N)
     p_iota = jnp.arange(P, dtype=jnp.int32)
-    piece_valid = p_iota < jnp.minimum(n_pieces, P)
-    start_clip = jnp.minimum(starts, N - 1)
 
-    # per-byte packed fields -> ONE row gather at piece starts
+    # per-byte packed fields; the piece positions AND their field rows come
+    # out of ONE [P, 4] stitch gather (masked_rows) — folding what was a
+    # scalar position stitch plus a second field row gather
     b32 = buf.astype(jnp.uint32)
     ext = jnp.concatenate([b32, jnp.zeros((7,), jnp.uint32)])
     w0_b = (
@@ -506,10 +572,9 @@ def stage_a_v4(
         ext[4 : N + 4] | (ext[5 : N + 5] << 8) | (ext[6 : N + 6] << 16)
         | (ext[7 : N + 7] << 24)
     ).astype(jnp.int32)
-    fields = jnp.stack(
-        [w0_b, w1_b, doc_end_pos, jnp.zeros_like(w0_b)], axis=1
-    )  # [N, 4]
-    frow = jnp.take(fields, start_clip, axis=0, mode="clip")       # [P, 4]
+    fields = jnp.stack([w0_b, w1_b, doc_end_pos], axis=1)  # [N, 3]
+    starts, frow = masked_rows(mask, fields, P, N)
+    piece_valid = p_iota < jnp.minimum(n_pieces, P)
     pw0_raw, pw1_raw, dend = frow[:, 0], frow[:, 1], frow[:, 2]
 
     next_start = jnp.concatenate([starts[1:], jnp.full((1,), N, jnp.int32)])
