@@ -16,7 +16,7 @@ sequential per-string loop (``M/GptBytePairEncoding.java:71-103``):
    bucket (4096 bytes of ONE regex piece — pathological) take a host-glue
    fallback.
 4. DEVICE stage B (per nonempty bucket): exact byte-pair merge over the
-   bucket's pieces (``ops/merge.merge_rows_t2``), capacity = smallest power
+   bucket's pieces (``ops/merge.merge_rows_t3``), capacity = smallest power
    of two covering the actual count.
 5. DEVICE stage C: counts → offsets → hit/bucket scatters → per-doc counts.
 6. HOST sync 2: ONE batched fetch of all chunks' outputs (device-side
@@ -130,24 +130,28 @@ class DeviceEngine:
         enable_compile_cache()
 
         # packed row tables: fetch a whole hash entry in ONE gather; slot 3
-        # carries the merge-safety mask consumed by ops/merge_exact
+        # carries the merge-safety mask consumed by ops/merge_exact. The two
+        # cuckoo tables are ALSO stacked along rows ([2T, 4]) so both probes
+        # of a lookup ride one gather (ops/merge.pair_lookup_cat).
         self._pair_rows0 = jnp.asarray(np.stack(
             [packed.cuckoo_u[0], packed.cuckoo_v[0], packed.cuckoo_id[0],
              packed.cuckoo_safe[0]], axis=1))
         self._pair_rows1 = jnp.asarray(np.stack(
             [packed.cuckoo_u[1], packed.cuckoo_v[1], packed.cuckoo_id[1],
              packed.cuckoo_safe[1]], axis=1))
+        self._pair_rows_cat = jnp.concatenate(
+            [self._pair_rows0, self._pair_rows1], axis=0
+        )
         self._byte_pair_seed = jnp.asarray(packed.byte_pair_seed)
         word_lenid = np.where(
             packed.word_len < 0, -1, (packed.word_len << 20) | packed.word_id
         ).astype(np.int32)
         zeros_word = np.zeros_like(packed.word_w0[0])
-        self._word_rows0 = jnp.asarray(np.stack(
-            [packed.word_w0[0], packed.word_w1[0], word_lenid[0], zeros_word],
-            axis=1))
-        self._word_rows1 = jnp.asarray(np.stack(
-            [packed.word_w0[1], packed.word_w1[1], word_lenid[1], zeros_word],
-            axis=1))
+        self._word_rows_cat = jnp.asarray(np.concatenate([
+            np.stack([packed.word_w0[t], packed.word_w1[t], word_lenid[t],
+                      zeros_word], axis=1)
+            for t in (0, 1)
+        ], axis=0))
 
         # legacy scalar-table views (sharded DP path, graft entry)
         self._cuckoo_u = jnp.asarray(packed.cuckoo_u)
@@ -179,8 +183,7 @@ class DeviceEngine:
                     stage4.stage_a_v4,
                     class_table=self._class_table,
                     pattern=self.pattern,
-                    word_rows0=self._word_rows0,
-                    word_rows1=self._word_rows1,
+                    word_rows_cat=self._word_rows_cat,
                     word_mask=self.packed.word_mask,
                     variant=variant,
                     piece_div=divs[0],
@@ -207,18 +210,27 @@ class DeviceEngine:
             fn = self._merge_bucket_jits.get(key)
             if fn is None:
                 if use_exact:
-                    fn = jax.jit(functools.partial(
-                        merge_exact.merge_bucket_exact, lanes=lanes, cap=cap,
-                    ))
+                    def exact_fn(buf, starts, lens, miss_sorted,
+                                 group_start_b, count_b, byte_to_id,
+                                 byte_pair_seed, pair_rows_cat, table_mask,
+                                 _lanes=lanes, _cap=cap):
+                        T = table_mask + 1
+                        return merge_exact.merge_bucket_exact(
+                            buf, starts, lens, miss_sorted, group_start_b,
+                            count_b, byte_to_id, byte_pair_seed,
+                            pair_rows_cat[:T], pair_rows_cat[T:], table_mask,
+                            lanes=_lanes, cap=_cap,
+                        )
+                    fn = jax.jit(exact_fn)
                 else:
                     def seq_fn(buf, starts, lens, miss_sorted, group_start_b,
                                count_b, byte_to_id, _byte_pair_seed,
-                               pair_rows0, pair_rows1, table_mask,
+                               pair_rows_cat, table_mask,
                                _lanes=lanes, _cap=cap):
-                        cols, ids, active = pipeline.merge_bucket_v2(
+                        cols, ids, active = pipeline.merge_bucket_v3(
                             buf, starts, lens, miss_sorted, group_start_b,
                             count_b, byte_to_id, self._byte_pair_id,
-                            pair_rows0, pair_rows1, table_mask,
+                            pair_rows_cat, table_mask,
                             lanes=_lanes, cap=_cap,
                         )
                         return cols, [(ids, active)]
@@ -578,8 +590,7 @@ class DeviceEngine:
                     buf_dev, t.starts, t.lens, t.miss_sorted,
                     t.group_start[b], jnp.int32(cnt),
                     self._byte_to_id, self._byte_pair_seed,
-                    self._pair_rows0, self._pair_rows1,
-                    self.packed.table_mask,
+                    self._pair_rows_cat, self.packed.table_mask,
                 )
                 for ids_k, act_k in outs:
                     counts = self._counts_add(counts, cols, act_k)
@@ -691,8 +702,8 @@ class DeviceEngine:
                 cols, outs = self._merge_bucket_fn(lanes, cap)(
                     buf_dev, t.starts, t.lens, t.miss_sorted,
                     t.group_start[b], jnp.int32(cnt),
-                    self._byte_to_id, self._byte_pair_seed, self._pair_rows0,
-                    self._pair_rows1, self.packed.table_mask,
+                    self._byte_to_id, self._byte_pair_seed,
+                    self._pair_rows_cat, self.packed.table_mask,
                 )
                 for ids_k, act_k in outs:
                     counts = self._counts_add(counts, cols, act_k)

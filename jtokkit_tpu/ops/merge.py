@@ -74,6 +74,24 @@ def pair_lookup_rows(u, v, pair_rows0, pair_rows1, table_mask):
     return jnp.where(hit2, r2[..., 2], out)
 
 
+def pair_lookup_cat(u, v, pair_rows_cat, table_mask):
+    """(u, v) -> merged id, or -1 — BOTH cuckoo probes in ONE row gather.
+
+    ``pair_rows_cat`` is the two cuckoo tables stacked along rows
+    ([2T, 4], table 1 offset by T = table_mask + 1), so the two probe
+    slots become one gather of a [2, ...] index array: same gathered rows,
+    half the gather-op launches (per-op fixed overhead matters at the
+    merge loop's small per-round shapes)."""
+    T = table_mask + 1
+    s1 = _mix(u, v, _H1, table_mask)
+    s2 = _mix(u, v, _H2, table_mask) + T
+    s = jnp.stack([s1, s2])                       # [2, ...]
+    r = jnp.take(pair_rows_cat, s, axis=0, mode="clip")  # [2, ..., 4]
+    hit = (r[..., 0] == u[None]) & (r[..., 1] == v[None])
+    out = jnp.where(hit[0], r[0, ..., 2], -1)
+    return jnp.where(hit[1], r[1, ..., 2], out)
+
+
 def merge_rows_t2(mat_t, lens, byte_to_id, byte_pair_id, pair_rows0,
                   pair_rows1, table_mask):
     """Transposed-layout merge with packed cuckoo rows (see merge_rows_t).
@@ -130,6 +148,78 @@ def merge_rows_t2(mat_t, lens, byte_to_id, byte_pair_id, pair_rows0,
         id_nxt2 = at_sublane(ids, nxt2, MAX_RANK)
         rank_m = jnp.where(nxt2 <= W, lookup(id_m, id_nxt2), MAX_RANK)
         rank_prv = jnp.where(prv >= 0, lookup(id_prv, id_m), MAX_RANK)
+
+        one_p = subl == prv[None, :]
+        new_rank = jnp.where(one_m & do_row, rank_m[None, :], rank)
+        new_rank = jnp.where(one_p & do_row, rank_prv[None, :], new_rank)
+        new_rank = jnp.where(one_n & do_row, MAX_RANK, new_rank)
+
+        any_left = jnp.any(jnp.min(new_rank) < MAX_RANK)
+        return new_ids, new_rank, new_active, any_left
+
+    init = (ids, rank, active, jnp.any(jnp.min(rank) < MAX_RANK))
+    ids, rank, active, _ = jax.lax.while_loop(cond, body, init)
+    return ids, active
+
+
+def merge_rows_t3(mat_t, lens, byte_to_id, byte_pair_id, pair_rows_cat,
+                  table_mask):
+    """Transposed merge with BOTH lookup sites and BOTH cuckoo probes of a
+    round batched into ONE row gather (4 probe rows per column per round via
+    :func:`pair_lookup_cat`), quartering the gather-op launches of
+    :func:`merge_rows_t2`'s four independent probes. Semantics identical to
+    the reference merge loop (``M/GptBytePairEncoding.java:200-275``).
+
+    Returns (ids_t int32[W, R], active_t bool[W, R]).
+    """
+    W, R = mat_t.shape
+    subl = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    b = mat_t.astype(jnp.int32)
+
+    active = subl < lens[None, :]
+    ids = jnp.where(active, jnp.take(byte_to_id, b), -1)
+
+    b_next = jnp.concatenate([b[1:, :], jnp.zeros((1, R), jnp.int32)], axis=0)
+    is_pair = subl + 1 < lens[None, :]
+    rank = jnp.where(is_pair, jnp.take(byte_pair_id, b * 256 + b_next), -1)
+    rank = jnp.where(rank < 0, MAX_RANK, rank)
+
+    BIG = jnp.int32(W + 1)
+
+    def at_sublane(x, m, fill):
+        return jnp.min(jnp.where(subl == m[None, :], x, fill), axis=0)
+
+    def cond(state):
+        return state[3]
+
+    def body(state):
+        ids, rank, active, _ = state
+        m = jnp.argmin(rank, axis=0).astype(jnp.int32)
+        minval = jnp.min(rank, axis=0)
+        do = minval < MAX_RANK
+
+        after_m = active & (subl > m[None, :])
+        nxt = jnp.min(jnp.where(after_m, subl, BIG), axis=0)
+        prv = jnp.max(jnp.where(active & (subl < m[None, :]), subl, -1), axis=0)
+        nxt2 = jnp.min(jnp.where(active & (subl > nxt[None, :]), subl, BIG), axis=0)
+
+        one_m = subl == m[None, :]
+        one_n = subl == nxt[None, :]
+        do_row = do[None, :]
+        new_ids = jnp.where(one_m & do_row, minval[None, :], ids)
+        new_active = active & ~(one_n & do_row)
+
+        id_m = minval
+        id_prv = at_sublane(ids, prv, MAX_RANK)
+        id_nxt2 = at_sublane(ids, nxt2, MAX_RANK)
+        # both neighbor-rank sites in one batched lookup (one row gather)
+        found = pair_lookup_cat(
+            jnp.stack([id_m, id_prv]), jnp.stack([id_nxt2, id_m]),
+            pair_rows_cat, table_mask,
+        )
+        found = jnp.where(found < 0, MAX_RANK, found)
+        rank_m = jnp.where(nxt2 <= W, found[0], MAX_RANK)
+        rank_prv = jnp.where(prv >= 0, found[1], MAX_RANK)
 
         one_p = subl == prv[None, :]
         new_rank = jnp.where(one_m & do_row, rank_m[None, :], rank)

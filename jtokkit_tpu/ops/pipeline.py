@@ -232,6 +232,33 @@ def merge_bucket_v2(
     return cols, ids, active & live[None, :]
 
 
+def merge_bucket_v3(
+    buf, starts, lens, miss_sorted, group_start_b, count_b,
+    byte_to_id, byte_pair_id, pair_rows_cat, table_mask,
+    *, lanes: int, cap: int,
+):
+    """merge_bucket with the stacked cuckoo table (ONE row gather per round
+    covering both lookup sites and both probes; see
+    :func:`jtokkit_tpu.ops.merge.pair_lookup_cat`)."""
+    N = buf.shape[0]
+    M = miss_sorted.shape[0]
+    r = jnp.arange(cap, dtype=jnp.int32)
+    take = jnp.minimum(group_start_b + r, M - 1)
+    cols = miss_sorted[take]
+    live = r < count_b
+    c_start = jnp.where(live, starts[cols], 0)
+    c_len = jnp.where(live, lens[cols], 0)
+
+    grows = jnp.arange(lanes, dtype=jnp.int32)[:, None]
+    gidx = jnp.minimum(c_start[None, :] + grows, N - 1)
+    mat_t = jnp.where(grows < c_len[None, :], buf[gidx], 0)
+
+    ids, active = merge.merge_rows_t3(
+        mat_t, c_len, byte_to_id, byte_pair_id, pair_rows_cat, table_mask,
+    )
+    return cols, ids, active & live[None, :]
+
+
 # ---------------------------------------------------------------------------
 # stage C pieces (each is a small jit in the engine)
 # ---------------------------------------------------------------------------

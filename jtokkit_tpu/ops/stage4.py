@@ -518,7 +518,7 @@ def doc_token_counts_v4(offsets, n_tokens, starts, doc_ends, n_pieces):
 
 def stage_a_v4(
     buf, doc_ends, class_table, pattern,
-    word_rows0, word_rows1, word_mask,
+    word_rows_cat, word_mask,
     *, variant: str, piece_div: int, miss_div: int,
 ):
     """Classify → boundaries → piece table → word-table hits → miss groups.
@@ -586,7 +586,8 @@ def stage_a_v4(
         lens.max(initial=0) > MAX_PIECE_LEN, OVERFLOW_PIECE_LEN, 0
     )
 
-    # word-table probe: mask the padded words by length, hash, 2 row gathers
+    # word-table probe: mask the padded words by length, hash; BOTH cuckoo
+    # probes ride ONE row gather into the stacked [2T, 4] table
     l0 = (jnp.clip(lens, 0, 4) * 8).astype(jnp.uint32)
     l1 = (jnp.clip(lens - 4, 0, 4) * 8).astype(jnp.uint32)
     full = jnp.uint32(0xFFFFFFFF)
@@ -598,18 +599,17 @@ def stage_a_v4(
     short = piece_valid & (lens >= 1) & (lens <= 8)
     hv = pw1.astype(jnp.uint32) ^ (lens.astype(jnp.uint32) * jnp.uint32(_LEN_MIX))
     s1 = _mix(pw0, hv, _H1, word_mask)
-    s2 = _mix(pw0, hv, _H2, word_mask)
-
-    def probe(rows, s):
-        r = jnp.take(rows, s, axis=0, mode="clip")  # [P, 4]
-        ok = (
-            (r[:, 0] == pw0) & (r[:, 1] == pw1)
-            & (r[:, 2] >> 20 == lens) & (r[:, 2] >= 0)
-        )
-        return jnp.where(ok, r[:, 2] & 0xFFFFF, -1)
-
-    hit = probe(word_rows0, s1)
-    hit = jnp.where(hit < 0, probe(word_rows1, s2), hit)
+    s2 = _mix(pw0, hv, _H2, word_mask) + (word_mask + 1)
+    s = jnp.stack([s1, s2])                               # [2, P]
+    r = jnp.take(word_rows_cat, s, axis=0, mode="clip")   # [2, P, 4]
+    ok = (
+        (r[..., 0] == pw0[None]) & (r[..., 1] == pw1[None])
+        & (r[..., 2] >> 20 == lens[None]) & (r[..., 2] >= 0)
+    )
+    hit = jnp.where(ok[0], r[0, :, 2] & 0xFFFFF, -1)
+    hit = jnp.where(
+        (hit < 0) & ok[1], r[1, :, 2] & 0xFFFFF, hit
+    )
     hit = jnp.where(short, hit, -1)
 
     # compact misses, grouped by length bucket (stable: stream order kept)

@@ -72,8 +72,7 @@ class ShardedTokenizer:
                 def per_shard(buf, doc_ends):
                     t, meta = stage4.stage_a_v4(
                         buf[0], doc_ends[0], eng._class_table, eng.pattern,
-                        eng._word_rows0, eng._word_rows1,
-                        eng.packed.word_mask,
+                        eng._word_rows_cat, eng.packed.word_mask,
                         variant="unicode", piece_div=divs[0],
                         miss_div=divs[1],
                     )
@@ -118,11 +117,11 @@ class ShardedTokenizer:
                     counts = pipeline.counts_init(hit, n_pieces)
                     outs = []
                     for (b, lanes, cap) in sig:
-                        cols, ids, active = pipeline.merge_bucket_v2(
+                        cols, ids, active = pipeline.merge_bucket_v3(
                             buf, starts, lens, miss_sorted, group_start[b],
                             bucket_counts[b], eng._byte_to_id,
-                            eng._byte_pair_id, eng._pair_rows0,
-                            eng._pair_rows1, eng.packed.table_mask,
+                            eng._byte_pair_id, eng._pair_rows_cat,
+                            eng.packed.table_mask,
                             lanes=lanes, cap=cap,
                         )
                         counts = pipeline.counts_add_bucket(

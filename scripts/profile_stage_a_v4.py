@@ -53,7 +53,7 @@ def main(mb=8.0, flavor="english"):
     P = N // piece_div
     M = N // miss_div
     ct = eng._class_table
-    word_rows0, word_rows1 = eng._word_rows0, eng._word_rows1
+    word_rows_cat = eng._word_rows_cat
     word_mask = eng.packed.word_mask
     pattern = eng.pattern
 
@@ -83,21 +83,18 @@ def main(mb=8.0, flavor="english"):
             if stop == "boundaries":
                 return mask.sum() + doc_end_pos.sum()
             n_pieces = mask.sum().astype(jnp.int32)
-            starts = stage4.masked_positions(mask, P, N)
-            if stop == "positions":
-                return starts.sum() + n_pieces
-            p_iota = jnp.arange(P, dtype=jnp.int32)
-            piece_valid = p_iota < jnp.minimum(n_pieces, P)
-            start_clip = jnp.minimum(starts, N - 1)
             b32 = buf.astype(jnp.uint32)
             ext = jnp.concatenate([b32, jnp.zeros((7,), jnp.uint32)])
             w0_b = (ext[:N] | (ext[1:N+1] << 8) | (ext[2:N+2] << 16)
                     | (ext[3:N+3] << 24)).astype(jnp.int32)
             w1_b = (ext[4:N+4] | (ext[5:N+5] << 8) | (ext[6:N+6] << 16)
                     | (ext[7:N+7] << 24)).astype(jnp.int32)
-            fields = jnp.stack(
-                [w0_b, w1_b, doc_end_pos, jnp.zeros_like(w0_b)], axis=1)
-            frow = jnp.take(fields, start_clip, axis=0, mode="clip")
+            fields = jnp.stack([w0_b, w1_b, doc_end_pos], axis=1)
+            starts, frow = stage4.masked_rows(mask, fields, P, N)
+            if stop == "positions":
+                return starts.sum() + n_pieces
+            p_iota = jnp.arange(P, dtype=jnp.int32)
+            piece_valid = p_iota < jnp.minimum(n_pieces, P)
             pw0_raw, pw1_raw, dend = frow[:, 0], frow[:, 1], frow[:, 2]
             next_start = jnp.concatenate(
                 [starts[1:], jnp.full((1,), N, jnp.int32)])
@@ -116,16 +113,13 @@ def main(mb=8.0, flavor="english"):
             hv = pw1.astype(jnp.uint32) ^ (
                 lens.astype(jnp.uint32) * jnp.uint32(stage4._LEN_MIX))
             s1 = stage4._mix(pw0, hv, stage4._H1, word_mask)
-            s2 = stage4._mix(pw0, hv, stage4._H2, word_mask)
-
-            def probe(rows, s):
-                r = jnp.take(rows, s, axis=0, mode="clip")
-                ok = ((r[:, 0] == pw0) & (r[:, 1] == pw1)
-                      & (r[:, 2] >> 20 == lens) & (r[:, 2] >= 0))
-                return jnp.where(ok, r[:, 2] & 0xFFFFF, -1)
-
-            hit = probe(word_rows0, s1)
-            hit = jnp.where(hit < 0, probe(word_rows1, s2), hit)
+            s2 = stage4._mix(pw0, hv, stage4._H2, word_mask) + (word_mask + 1)
+            s = jnp.stack([s1, s2])
+            r = jnp.take(word_rows_cat, s, axis=0, mode="clip")
+            ok = ((r[..., 0] == pw0[None]) & (r[..., 1] == pw1[None])
+                  & (r[..., 2] >> 20 == lens[None]) & (r[..., 2] >= 0))
+            hit = jnp.where(ok[0], r[0, :, 2] & 0xFFFFF, -1)
+            hit = jnp.where((hit < 0) & ok[1], r[1, :, 2] & 0xFFFFF, hit)
             hit = jnp.where(short, hit, -1)
             if stop == "wordprobe":
                 return hit.sum()
