@@ -153,3 +153,26 @@ def test_merge_exact_repeat_runs():
     pieces = [p for p in pieces if len(p) <= 128]
     check("cl100k_base", pieces, 128)
     check("r50k_base", pieces, 128)
+
+
+def test_pair_lookup_cat_equivalence(enc_name):
+    """The stacked-table single-gather lookup must equal the two-gather
+    cuckoo lookup on random id pairs (hits and misses)."""
+    from jtokkit_tpu.ops import merge as merge_ops
+
+    _d, _ranks, packed, rows0, rows1 = setup(enc_name)
+    rows_cat = jnp.concatenate([rows0, rows1], axis=0)
+    rng = np.random.default_rng(7)
+    n = packed.n_tokens
+    # half random (nearly all misses), half real table entries (hits)
+    u = rng.integers(0, n, size=2048, dtype=np.int32)
+    v = rng.integers(0, n, size=2048, dtype=np.int32)
+    r0 = np.asarray(rows0)
+    live = np.flatnonzero(r0[:, 2] >= 0)[:1024]
+    u[: len(live)] = r0[live, 0]
+    v[: len(live)] = r0[live, 1]
+    u, v = jnp.asarray(u), jnp.asarray(v)
+    a = merge_ops.pair_lookup_rows(u, v, rows0, rows1, packed.table_mask)
+    b = merge_ops.pair_lookup_cat(u, v, rows_cat, packed.table_mask)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int((np.asarray(a) >= 0).sum()) >= len(live) > 0
