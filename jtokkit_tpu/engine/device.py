@@ -147,9 +147,12 @@ class DeviceEngine:
             packed.word_len < 0, -1, (packed.word_len << 20) | packed.word_id
         ).astype(np.int32)
         zeros_word = np.zeros_like(packed.word_w0[0])
+        # [2S, 8] rows (w0..w3, len<<20|id, pad): a whole 16-byte-token hash
+        # entry in one row; both tables stacked so a probe is ONE gather
         self._word_rows_cat = jnp.asarray(np.concatenate([
-            np.stack([packed.word_w0[t], packed.word_w1[t], word_lenid[t],
-                      zeros_word], axis=1)
+            np.stack([packed.word_w0[t], packed.word_w1[t],
+                      packed.word_w2[t], packed.word_w3[t], word_lenid[t],
+                      zeros_word, zeros_word, zeros_word], axis=1)
             for t in (0, 1)
         ], axis=0))
 

@@ -560,22 +560,28 @@ def stage_a_v4(
     p_iota = jnp.arange(P, dtype=jnp.int32)
 
     # per-byte packed fields; the piece positions AND their field rows come
-    # out of ONE [P, 4] stitch gather (masked_rows) — folding what was a
-    # scalar position stitch plus a second field row gather
+    # out of ONE [P, 6] stitch gather (masked_rows) — folding what was a
+    # scalar position stitch plus a second field row gather. Four packed
+    # words cover the 16-byte direct-hit window.
     b32 = buf.astype(jnp.uint32)
-    ext = jnp.concatenate([b32, jnp.zeros((7,), jnp.uint32)])
-    w0_b = (
-        ext[:N] | (ext[1 : N + 1] << 8) | (ext[2 : N + 2] << 16)
-        | (ext[3 : N + 3] << 24)
-    ).astype(jnp.int32)
-    w1_b = (
-        ext[4 : N + 4] | (ext[5 : N + 5] << 8) | (ext[6 : N + 6] << 16)
-        | (ext[7 : N + 7] << 24)
-    ).astype(jnp.int32)
-    fields = jnp.stack([w0_b, w1_b, doc_end_pos], axis=1)  # [N, 3]
+    ext = jnp.concatenate([b32, jnp.zeros((15,), jnp.uint32)])
+
+    def word_at(k):
+        return (
+            ext[k : N + k] | (ext[k + 1 : N + k + 1] << 8)
+            | (ext[k + 2 : N + k + 2] << 16)
+            | (ext[k + 3 : N + k + 3] << 24)
+        ).astype(jnp.int32)
+
+    fields = jnp.stack(
+        [word_at(0), word_at(4), word_at(8), word_at(12), doc_end_pos],
+        axis=1,
+    )  # [N, 5]
     starts, frow = masked_rows(mask, fields, P, N)
     piece_valid = p_iota < jnp.minimum(n_pieces, P)
-    pw0_raw, pw1_raw, dend = frow[:, 0], frow[:, 1], frow[:, 2]
+    pw0_raw, pw1_raw, pw2_raw, pw3_raw, dend = (
+        frow[:, 0], frow[:, 1], frow[:, 2], frow[:, 3], frow[:, 4]
+    )
 
     next_start = jnp.concatenate([starts[1:], jnp.full((1,), N, jnp.int32)])
     ends = jnp.minimum(next_start, dend)
@@ -586,29 +592,43 @@ def stage_a_v4(
         lens.max(initial=0) > MAX_PIECE_LEN, OVERFLOW_PIECE_LEN, 0
     )
 
-    # word-table probe: mask the padded words by length, hash; BOTH cuckoo
-    # probes ride ONE row gather into the stacked [2T, 4] table
-    l0 = (jnp.clip(lens, 0, 4) * 8).astype(jnp.uint32)
-    l1 = (jnp.clip(lens - 4, 0, 4) * 8).astype(jnp.uint32)
-    full = jnp.uint32(0xFFFFFFFF)
-    m0 = jnp.where(l0 >= 32, full, (jnp.uint32(1) << l0) - 1)
-    m1 = jnp.where(l1 >= 32, full, (jnp.uint32(1) << l1) - 1)
-    pw0 = (pw0_raw.astype(jnp.uint32) & m0).astype(jnp.int32)
-    pw1 = (pw1_raw.astype(jnp.uint32) & m1).astype(jnp.int32)
+    # word-table probe (whole tokens of 1..16 bytes — 99%+ of the vocab, so
+    # nearly every whole-token piece skips the merge entirely, mirroring the
+    # reference's direct hit, M/GptBytePairEncoding.java:81-83): mask the
+    # padded words by length, hash; BOTH cuckoo probes ride ONE row gather
+    # into the stacked [2T, 8] table. Hash mirrors vocab.tables.word_key.
+    def lmask(lo):
+        sh = (jnp.clip(lens - lo, 0, 4) * 8).astype(jnp.uint32)
+        full = jnp.uint32(0xFFFFFFFF)
+        return jnp.where(sh >= 32, full, (jnp.uint32(1) << sh) - 1)
 
-    short = piece_valid & (lens >= 1) & (lens <= 8)
-    hv = pw1.astype(jnp.uint32) ^ (lens.astype(jnp.uint32) * jnp.uint32(_LEN_MIX))
-    s1 = _mix(pw0, hv, _H1, word_mask)
-    s2 = _mix(pw0, hv, _H2, word_mask) + (word_mask + 1)
+    pw0 = (pw0_raw.astype(jnp.uint32) & lmask(0)).astype(jnp.int32)
+    pw1 = (pw1_raw.astype(jnp.uint32) & lmask(4)).astype(jnp.int32)
+    pw2 = (pw2_raw.astype(jnp.uint32) & lmask(8)).astype(jnp.int32)
+    pw3 = (pw3_raw.astype(jnp.uint32) & lmask(12)).astype(jnp.int32)
+
+    short = piece_valid & (lens >= 1) & (lens <= 16)
+    hu = (
+        pw0.astype(jnp.uint32)
+        ^ (pw2.astype(jnp.uint32) * jnp.uint32(0x7FEB352D))
+    ).astype(jnp.int32)
+    hv = (
+        pw1.astype(jnp.uint32)
+        ^ (lens.astype(jnp.uint32) * jnp.uint32(_LEN_MIX))
+        ^ (pw3.astype(jnp.uint32) * jnp.uint32(0x846CA68B))
+    )
+    s1 = _mix(hu, hv, _H1, word_mask)
+    s2 = _mix(hu, hv, _H2, word_mask) + (word_mask + 1)
     s = jnp.stack([s1, s2])                               # [2, P]
-    r = jnp.take(word_rows_cat, s, axis=0, mode="clip")   # [2, P, 4]
+    r = jnp.take(word_rows_cat, s, axis=0, mode="clip")   # [2, P, 8]
     ok = (
         (r[..., 0] == pw0[None]) & (r[..., 1] == pw1[None])
-        & (r[..., 2] >> 20 == lens[None]) & (r[..., 2] >= 0)
+        & (r[..., 2] == pw2[None]) & (r[..., 3] == pw3[None])
+        & (r[..., 4] >> 20 == lens[None]) & (r[..., 4] >= 0)
     )
-    hit = jnp.where(ok[0], r[0, :, 2] & 0xFFFFF, -1)
+    hit = jnp.where(ok[0], r[0, :, 4] & 0xFFFFF, -1)
     hit = jnp.where(
-        (hit < 0) & ok[1], r[1, :, 2] & 0xFFFFF, hit
+        (hit < 0) & ok[1], r[1, :, 4] & 0xFFFFF, hit
     )
     hit = jnp.where(short, hit, -1)
 

@@ -87,11 +87,15 @@ class PackedVocabulary:
     cuckoo_id: np.ndarray  # int32[2, table_size]
     table_mask: int
     n_pairs: int
-    # word-table: whole-token direct hits for tokens of 1..8 bytes, keyed on
-    # the two little-endian int32 words of the zero-padded bytes plus the
-    # length. Exact (full key compare), two gathers per probe.
+    # word-table: whole-token direct hits for tokens of 1..16 bytes (99%+ of
+    # every tiktoken vocabulary — the reference direct-hits ANY whole-piece
+    # token, M/GptBytePairEncoding.java:81-83), keyed on the four
+    # little-endian int32 words of the zero-padded bytes plus the length.
+    # Exact (full 4-word + length compare in the slot).
     word_w0: np.ndarray  # int32[2, word_size]
     word_w1: np.ndarray  # int32[2, word_size]
+    word_w2: np.ndarray  # int32[2, word_size]
+    word_w3: np.ndarray  # int32[2, word_size]
     word_len: np.ndarray  # int32[2, word_size]  (-1 empty)
     word_id: np.ndarray  # int32[2, word_size]
     word_mask: int
@@ -226,30 +230,46 @@ def _safety_masks(u, v, ids, minL, minR):
 _LEN_MIX = np.uint32(0x01000193)
 
 
-def word_key(w0: np.ndarray, w1: np.ndarray, length: np.ndarray):
-    """Hash key halves for the word-table: length folds into the second
-    half so different-length zero-padded strings hash apart; exactness comes
-    from comparing (w0, w1, len) in the slot, not from the hash."""
-    w1x = w1.astype(np.uint32) ^ (length.astype(np.uint32) * _LEN_MIX)
-    return w0.astype(np.uint32), w1x
+_W2_MIX = np.uint32(0x7FEB352D)
+_W3_MIX = np.uint32(0x846CA68B)
+
+
+def word_key(w0, w1, w2, w3, length):
+    """Hash key halves for the 16-byte word-table: the upper words and the
+    length fold into the two halves so different strings hash apart;
+    exactness comes from comparing (w0..w3, len) in the slot, not from the
+    hash. The device probe reproduces this exactly with uint32 wraparound
+    (jtokkit_tpu.ops.stage4)."""
+    u = w0.astype(np.uint32) ^ (w2.astype(np.uint32) * _W2_MIX)
+    v = (
+        w1.astype(np.uint32)
+        ^ (length.astype(np.uint32) * _LEN_MIX)
+        ^ (w3.astype(np.uint32) * _W3_MIX)
+    )
+    return u, v
 
 
 def _build_word_table(ranks: Dict[bytes, int]):
-    """Cuckoo table of whole tokens with 1..8 bytes, exact-match keyed on
-    (padded word0, padded word1, byte length)."""
-    w0s, w1s, lens, ids = [], [], [], []
+    """Cuckoo table of whole tokens with 1..16 bytes, exact-match keyed on
+    (padded words 0..3, byte length). Covers 99%+ of every tiktoken vocab,
+    so nearly every whole-token piece resolves without a merge."""
+    w0s, w1s, w2s, w3s, lens, ids = [], [], [], [], [], []
     for token, rank in ranks.items():
         n = len(token)
-        if not (1 <= n <= 8):
+        if not (1 <= n <= 16):
             continue
-        padded = token + b"\x00" * (8 - n)
+        padded = token + b"\x00" * (16 - n)
         w0s.append(int.from_bytes(padded[:4], "little"))
-        w1s.append(int.from_bytes(padded[4:], "little"))
+        w1s.append(int.from_bytes(padded[4:8], "little"))
+        w2s.append(int.from_bytes(padded[8:12], "little"))
+        w3s.append(int.from_bytes(padded[12:], "little"))
         lens.append(n)
         ids.append(rank)
     n_entries = len(w0s)
     w0 = np.asarray(w0s, dtype=np.uint32).astype(np.int32)
     w1 = np.asarray(w1s, dtype=np.uint32).astype(np.int32)
+    w2 = np.asarray(w2s, dtype=np.uint32).astype(np.int32)
+    w3 = np.asarray(w3s, dtype=np.uint32).astype(np.int32)
     ln = np.asarray(lens, dtype=np.int32)
     wid = np.asarray(ids, dtype=np.int32)
 
@@ -258,37 +278,40 @@ def _build_word_table(ranks: Dict[bytes, int]):
         size *= 2
     for _attempt in range(8):
         mask = size - 1
-        sw0 = np.full((2, size), EMPTY, dtype=np.int32)
-        sw1 = np.full((2, size), EMPTY, dtype=np.int32)
-        sln = np.full((2, size), EMPTY, dtype=np.int32)
-        sid = np.full((2, size), EMPTY, dtype=np.int32)
-        hu, hv = word_key(w0, w1, ln)
+        slots = [
+            np.full((2, size), EMPTY, dtype=np.int32) for _ in range(6)
+        ]  # w0 w1 w2 w3 len id
+        sln = slots[4]
+        hu, hv = word_key(w0, w1, w2, w3, ln)
         h1 = pair_hash1(hu, hv, mask)
         h2 = pair_hash2(hu, hv, mask)
         ok = True
         for i in range(n_entries):
             t = 0
-            a, b, c, d = int(w0[i]), int(w1[i]), int(ln[i]), int(wid[i])
+            entry = [int(w0[i]), int(w1[i]), int(w2[i]), int(w3[i]),
+                     int(ln[i]), int(wid[i])]
             s = int(h1[i])
             for _kick in range(500):
                 if sln[t, s] == EMPTY:
-                    sw0[t, s], sw1[t, s], sln[t, s], sid[t, s] = a, b, c, d
+                    for k in range(6):
+                        slots[k][t, s] = entry[k]
                     break
-                a, sw0[t, s] = int(sw0[t, s]), a
-                b, sw1[t, s] = int(sw1[t, s]), b
-                c, sln[t, s] = int(sln[t, s]), c
-                d, sid[t, s] = int(sid[t, s]), d
+                for k in range(6):
+                    entry[k], slots[k][t, s] = int(slots[k][t, s]), entry[k]
                 t = 1 - t
                 ua, va = word_key(
-                    np.asarray([a], np.int32), np.asarray([b], np.int32),
-                    np.asarray([c], np.int32),
+                    np.asarray([entry[0]], np.int32),
+                    np.asarray([entry[1]], np.int32),
+                    np.asarray([entry[2]], np.int32),
+                    np.asarray([entry[3]], np.int32),
+                    np.asarray([entry[4]], np.int32),
                 )
                 s = int((pair_hash1 if t == 0 else pair_hash2)(ua, va, mask)[0])
             else:
                 ok = False
                 break
         if ok:
-            return sw0, sw1, sln, sid, mask
+            return (*slots, mask)
         size *= 2
     raise RuntimeError("word-table cuckoo build failed to converge")
 
@@ -318,7 +341,7 @@ def build_packed(name: str, ranks: Dict[bytes, int]) -> PackedVocabulary:
 
     u_arr, v_arr, id_arr = _enumerate_pairs(ranks)
     cu, cv, cid, mask = _build_cuckoo(u_arr, v_arr, id_arr)
-    ww0, ww1, wln, wid, wmask = _build_word_table(ranks)
+    ww0, ww1, ww2, ww3, wln, wid, wmask = _build_word_table(ranks)
 
     minL_gt, minR_gt = _build_threat_tables(
         u_arr, v_arr, id_arr, lengths, n_tokens
@@ -355,6 +378,8 @@ def build_packed(name: str, ranks: Dict[bytes, int]) -> PackedVocabulary:
         n_pairs=len(u_arr),
         word_w0=ww0,
         word_w1=ww1,
+        word_w2=ww2,
+        word_w3=ww3,
         word_len=wln,
         word_id=wid,
         word_mask=wmask,
@@ -374,6 +399,8 @@ _ARRAY_FIELDS = (
     "cuckoo_id",
     "word_w0",
     "word_w1",
+    "word_w2",
+    "word_w3",
     "word_len",
     "word_id",
     "cuckoo_safe",
@@ -391,7 +418,7 @@ def load_packed(name: str, ranks: Dict[bytes, int], vocab_path: str | None = Non
     cache_path = None
     if vocab_path and os.path.exists(vocab_path):
         st = os.stat(vocab_path)
-        key = f"{name}_v2_{st.st_size}_{int(st.st_mtime)}"
+        key = f"{name}_v3_{st.st_size}_{int(st.st_mtime)}"
         cache_path = os.path.join(_cache_dir(), f"{key}.npz")
         if os.path.exists(cache_path):
             try:
