@@ -162,8 +162,17 @@ def merge_rows_t2(mat_t, lens, byte_to_id, byte_pair_id, pair_rows0,
     return ids, active
 
 
+import os as _os
+
+# while_loop steps per iteration: unrolling amortizes the loop's fixed
+# per-iteration overhead at the cost of longer compiles and (rounds mod K)
+# wasted no-op steps at the tail. Exactness is unaffected — each unrolled
+# step is the same sequential merge step.
+_UNROLL = max(1, int(_os.environ.get("JTOKKIT_TPU_MERGE_UNROLL", "1")))
+
+
 def merge_rows_t3(mat_t, lens, byte_to_id, byte_pair_id, pair_rows_cat,
-                  table_mask):
+                  table_mask, *, unroll: int | None = None):
     """Transposed merge with BOTH lookup sites and BOTH cuckoo probes of a
     round batched into ONE row gather (4 probe rows per column per round via
     :func:`pair_lookup_cat`), quartering the gather-op launches of
@@ -229,8 +238,15 @@ def merge_rows_t3(mat_t, lens, byte_to_id, byte_pair_id, pair_rows_cat,
         any_left = jnp.any(jnp.min(new_rank) < MAX_RANK)
         return new_ids, new_rank, new_active, any_left
 
+    k = _UNROLL if unroll is None else max(1, unroll)
+
+    def body_k(state):
+        for _ in range(k):
+            state = body(state)
+        return state
+
     init = (ids, rank, active, jnp.any(jnp.min(rank) < MAX_RANK))
-    ids, rank, active, _ = jax.lax.while_loop(cond, body, init)
+    ids, rank, active, _ = jax.lax.while_loop(cond, body_k, init)
     return ids, active
 
 
