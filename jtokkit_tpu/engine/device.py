@@ -38,7 +38,7 @@ import numpy as np
 
 from ..ops import (
     boundaries, classify, decode as decode_ops, merge, merge_exact,
-    pipeline, stage4,
+    pipeline, stage4, submerge,
 )
 from ..vocab import tables as vtables
 from ..vocab.loader import asset_path
@@ -206,22 +206,54 @@ class DeviceEngine:
         self._exact_min_lanes = int(
             os.environ.get("JTOKKIT_TPU_EXACT_MIN_LANES", 1 << 30)
         )
+        # Substring-rank Pallas merge (ops/submerge): buckets up to this
+        # lane width run the VMEM-resident kernel over precomputed substring
+        # ranks (ONE stacked word-table probe replaces every in-loop pair
+        # lookup). Default: on for TPU backends; interpret-mode elsewhere is
+        # opt-in (JTOKKIT_TPU_SUBMERGE=<max lanes> / 0 to disable).
+        _sub_default = (
+            str(submerge.MAX_LANES) if jax.default_backend() == "tpu" else "0"
+        )
+        self._submerge_max = min(
+            int(os.environ.get("JTOKKIT_TPU_SUBMERGE", _sub_default)),
+            submerge.MAX_LANES,
+        )
+        self._submerge_interpret = jax.default_backend() != "tpu"
 
         def _merge_bucket_fn(lanes: int, cap: int):
             use_exact = lanes >= self._exact_min_lanes
-            key = (lanes, cap, use_exact)
+            use_sub = (
+                not use_exact and lanes <= self._submerge_max
+                and cap % 128 == 0
+            )
+            key = (lanes, cap, use_exact, use_sub)
             fn = self._merge_bucket_jits.get(key)
             if fn is None:
-                if use_exact:
+                if use_sub:
+                    def sub_fn(buf, starts, lens, miss_sorted,
+                               group_start_b, count_b, byte_to_id,
+                               _byte_pair_seed, _pair_rows_cat, _table_mask,
+                               _lanes=lanes, _cap=cap):
+                        cols, ids, active = submerge.merge_bucket_sub(
+                            buf, starts, lens, miss_sorted, group_start_b,
+                            count_b, byte_to_id, self._word_rows_cat,
+                            self.packed.word_mask, lanes=_lanes, cap=_cap,
+                            interpret=self._submerge_interpret,
+                        )
+                        return cols, [(ids, active)]
+                    fn = jax.jit(sub_fn)
+                elif use_exact:
                     def exact_fn(buf, starts, lens, miss_sorted,
                                  group_start_b, count_b, byte_to_id,
-                                 byte_pair_seed, pair_rows_cat, table_mask,
+                                 byte_pair_seed, _pair_rows_cat, _table_mask,
                                  _lanes=lanes, _cap=cap):
-                        T = table_mask + 1
+                        # split tables closed over statically (the stacked
+                        # view can't be sliced by the traced mask arg)
                         return merge_exact.merge_bucket_exact(
                             buf, starts, lens, miss_sorted, group_start_b,
                             count_b, byte_to_id, byte_pair_seed,
-                            pair_rows_cat[:T], pair_rows_cat[T:], table_mask,
+                            self._pair_rows0, self._pair_rows1,
+                            self.packed.table_mask,
                             lanes=_lanes, cap=_cap,
                         )
                     fn = jax.jit(exact_fn)
@@ -574,8 +606,19 @@ class DeviceEngine:
 
     def _process_chunks_cached(self, plan, want_tokens: bool):
         """Steady-state pipeline: dispatch every chunk's stages back-to-back
-        using the plan's cached routing/capacities — no host syncs at all."""
+        using the plan's cached routing/capacities — no host syncs at all.
+
+        With cached token counts the pack+D2H copy of each chunk's tokens is
+        enqueued INSIDE this dispatch loop, right after the chunk's scatters:
+        the device then interleaves [chunk k pack+transfer] with
+        [chunk k+1.. compute], so transfers hide behind remaining compute
+        instead of all starting after the last chunk (through the axon
+        tunnel that ordering serialized compute and fetch back-to-back —
+        measured 0.909 s vs 0.381 s compute + 0.528 s fetch on 32 MB).
+        """
         results = []
+        inline_fetch = want_tokens and plan.n_tokens is not None
+        oki = 0
         for (buf, doc_ends, parts, _ascii, buf_dev, de_dev), c in zip(
             plan, plan.chunk_cache
         ):
@@ -618,7 +661,22 @@ class DeviceEngine:
                 )
             else:
                 doc_counts = None
-            results.append(("ok", parts, tokens, n_tokens, doc_counts))
+            if inline_fetch:
+                nt = plan.n_tokens[oki]
+                if nt:
+                    pad = min(_next_pow2(nt, 8192), tokens.shape[0])
+                    lo, hi = self._slice_tokens(pad)(tokens)
+                    lo.copy_to_host_async()
+                    if hi is not None:
+                        hi.copy_to_host_async()
+                else:
+                    lo = hi = None
+                results.append(
+                    ("ok", parts, tokens, n_tokens, doc_counts, (lo, hi))
+                )
+            else:
+                results.append(("ok", parts, tokens, n_tokens, doc_counts))
+            oki += 1
         return results
 
     def _process_chunks(self, texts, want_tokens: bool, plan=None):
@@ -789,7 +847,7 @@ class DeviceEngine:
             if res[0] != "ok":
                 fetches.append(None)
                 continue
-            _, parts, tokens_dev, _n_dev, doc_counts_dev = res
+            parts, tokens_dev, _n_dev, doc_counts_dev = res[1:5]
             if cached:
                 n_tokens = plan.n_tokens[oki]
                 doc_counts = plan.doc_counts[oki]
@@ -799,7 +857,11 @@ class DeviceEngine:
                 doc_counts = small[pos : pos + len(parts)]
                 pos += d_size
             oki += 1
-            if n_tokens:
+            if len(res) > 5:
+                # steady-state: pack + D2H copy already enqueued inside the
+                # dispatch loop (overlapping later chunks' compute)
+                lo, hi = res[5]
+            elif n_tokens:
                 pad = min(_next_pow2(n_tokens, 8192), tokens_dev.shape[0])
                 lo, hi = self._slice_tokens(pad)(tokens_dev)
                 lo.copy_to_host_async()
