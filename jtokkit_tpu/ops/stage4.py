@@ -26,6 +26,7 @@ codepoint-table gather either: ASCII classes are computed arithmetically.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -43,6 +44,15 @@ _TWO_CHAR = ((ord("r"), ord("e")), (ord("v"), ord("e")), (ord("l"), ord("l")))
 _H1 = (0x9E3779B1, 0x85EBCA77, 0x2C1B3C6D)
 _H2 = (0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
 _LEN_MIX = 0x01000193
+
+# Profiling-only ablations (JTOKKIT_TPU_ABLATE=wordprobe,misspos,argsort,
+# stitch): each replaces one gather-class sub-stage with a shape-identical
+# stub so steady-state bench deltas attribute cost IN CONTEXT (the
+# checkpoint profiler's per-prefix jits fuse differently and misattribute).
+# Results are WRONG under ablation — never set outside profiling runs.
+_ABLATE = frozenset(
+    x for x in os.environ.get("JTOKKIT_TPU_ABLATE", "").split(",") if x
+)
 
 # overflow bits (meta[0]); the engine retries with the roomier variant on
 # CAPACITY, and takes the host fallback only on PIECE_LEN
@@ -577,7 +587,11 @@ def stage_a_v4(
         [word_at(0), word_at(4), word_at(8), word_at(12), doc_end_pos],
         axis=1,
     )  # [N, 5]
-    starts, frow = masked_rows(mask, fields, P, N)
+    if "stitch" in _ABLATE:  # pragma: no cover - profiling only
+        starts = jnp.minimum(p_iota * piece_div, N)
+        frow = fields[jnp.minimum(starts, N - 1)]
+    else:
+        starts, frow = masked_rows(mask, fields, P, N)
     piece_valid = p_iota < jnp.minimum(n_pieces, P)
     pw0_raw, pw1_raw, pw2_raw, pw3_raw, dend = (
         frow[:, 0], frow[:, 1], frow[:, 2], frow[:, 3], frow[:, 4]
@@ -619,24 +633,30 @@ def stage_a_v4(
     )
     s1 = _mix(hu, hv, _H1, word_mask)
     s2 = _mix(hu, hv, _H2, word_mask) + (word_mask + 1)
-    s = jnp.stack([s1, s2])                               # [2, P]
-    r = jnp.take(word_rows_cat, s, axis=0, mode="clip")   # [2, P, 8]
-    ok = (
-        (r[..., 0] == pw0[None]) & (r[..., 1] == pw1[None])
-        & (r[..., 2] == pw2[None]) & (r[..., 3] == pw3[None])
-        & (r[..., 4] >> 20 == lens[None]) & (r[..., 4] >= 0)
-    )
-    hit = jnp.where(ok[0], r[0, :, 4] & 0xFFFFF, -1)
-    hit = jnp.where(
-        (hit < 0) & ok[1], r[1, :, 4] & 0xFFFFF, hit
-    )
-    hit = jnp.where(short, hit, -1)
+    if "wordprobe" in _ABLATE:  # pragma: no cover - profiling only
+        hit = jnp.where(short & (s1 + s2 >= 0), 0, -1)
+    else:
+        s = jnp.stack([s1, s2])                               # [2, P]
+        r = jnp.take(word_rows_cat, s, axis=0, mode="clip")   # [2, P, 8]
+        ok = (
+            (r[..., 0] == pw0[None]) & (r[..., 1] == pw1[None])
+            & (r[..., 2] == pw2[None]) & (r[..., 3] == pw3[None])
+            & (r[..., 4] >> 20 == lens[None]) & (r[..., 4] >= 0)
+        )
+        hit = jnp.where(ok[0], r[0, :, 4] & 0xFFFFF, -1)
+        hit = jnp.where(
+            (hit < 0) & ok[1], r[1, :, 4] & 0xFFFFF, hit
+        )
+        hit = jnp.where(short, hit, -1)
 
     # compact misses, grouped by length bucket (stable: stream order kept)
     miss = piece_valid & (hit < 0)
     n_miss = miss.sum().astype(jnp.int32)
     overflow = overflow | jnp.where(n_miss > M, OVERFLOW_CAPACITY, 0)
-    miss_idx = masked_positions(miss, M, P - 1)
+    if "misspos" in _ABLATE:  # pragma: no cover - profiling only
+        miss_idx = jnp.minimum(jnp.arange(M, dtype=jnp.int32), P - 1)
+    else:
+        miss_idx = masked_positions(miss, M, P - 1)
     m_valid = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_miss, M)
     m_len = jnp.where(m_valid, lens[miss_idx], 0)
     # bucket index by length: elementwise compares (searchsorted is ~90 ms
@@ -645,7 +665,10 @@ def stage_a_v4(
     for w in BUCKET_WIDTHS[:-1]:
         bucket_of = bucket_of + (m_len > w).astype(jnp.int32)
     bucket_of = jnp.where(m_valid, bucket_of, len(BUCKET_WIDTHS))
-    order = jnp.argsort(bucket_of, stable=True).astype(jnp.int32)
+    if "argsort" in _ABLATE:  # pragma: no cover - profiling only
+        order = jnp.arange(M, dtype=jnp.int32)
+    else:
+        order = jnp.argsort(bucket_of, stable=True).astype(jnp.int32)
     miss_sorted = miss_idx[order]
     bucket_counts = jnp.bincount(
         jnp.minimum(bucket_of, len(BUCKET_WIDTHS)),
