@@ -209,13 +209,15 @@ class DeviceEngine:
         # Substring-rank Pallas merge (ops/submerge): buckets up to this
         # lane width run the VMEM-resident kernel over precomputed substring
         # ranks (ONE stacked word-table probe replaces every in-loop pair
-        # lookup). Default: on for TPU backends; interpret-mode elsewhere is
-        # opt-in (JTOKKIT_TPU_SUBMERGE=<max lanes> / 0 to disable).
-        _sub_default = (
-            str(submerge.MAX_LANES) if jax.default_backend() == "tpu" else "0"
-        )
+        # lookup). Opt-in (JTOKKIT_TPU_SUBMERGE=<max lanes>): measured on
+        # v5e (32 MB english, count mode) the kernel's substring precompute
+        # gathers cost MORE than the sequential XLA merge it replaces —
+        # 84.2 MB/s off vs 74.4 (lanes<=8) vs 66.8 (lanes<=16) — because
+        # lax.while_loop rounds execute on-device (not host-dispatched) and
+        # the small buckets' merges are already ~0.4 ms/MB. Kept as a
+        # validated alternative engine; see docs/perf-notes.md.
         self._submerge_max = min(
-            int(os.environ.get("JTOKKIT_TPU_SUBMERGE", _sub_default)),
+            int(os.environ.get("JTOKKIT_TPU_SUBMERGE", "0")),
             submerge.MAX_LANES,
         )
         self._submerge_interpret = jax.default_backend() != "tpu"

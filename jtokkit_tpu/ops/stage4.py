@@ -490,6 +490,65 @@ def masked_rows(mask, fields, size: int, fill):
     return pos, out[:, 1:]
 
 
+# Word-probe gather lowering (JTOKKIT_TPU_PROBE): end-to-end measurement on
+# v5e shows gather cost is dominated by per-ROW overhead and depends on the
+# index SHAPE the lowering sees, so the fastest variant is an empirical
+# choice:
+#   stack8  - ONE gather, [2, P] stacked index, 8-int rows     (0.478 s)
+#   flat8x2 - TWO gathers, flat [P] indices, 8-int rows        (0.443 s) <-
+#   flat4x2 - four flat gathers of narrow (4/1-wide) views     (0.568 s)
+#   cat8    - ONE gather, concatenated flat [2P] index         (0.460 s)
+# (32 MB english count-mode, same run, v5e; flat flat-index gathers beat
+# both the stacked-index form and any narrower-row decomposition - cost is
+# per ROW with a shape-dependent constant, not per element)
+_PROBE_VARIANT = os.environ.get("JTOKKIT_TPU_PROBE", "flat8x2")
+
+
+def _word_probe(word_rows_cat, s1, s2, pw0, pw1, pw2, pw3, lens, short):
+    """Exact whole-piece lookup: hit id or -1 per piece (reference direct
+    hit, ``M/GptBytePairEncoding.java:81-83``)."""
+    v = _PROBE_VARIANT
+
+    def check(r, w3r=None):
+        # r: [..., >=5] row slice per probe; w3r overrides column 3
+        w3v = r[..., 3] if w3r is None else w3r
+        lenid = r[..., 4] if w3r is None else r[..., 3]
+        ok = (
+            (r[..., 0] == pw0) & (r[..., 1] == pw1) & (r[..., 2] == pw2)
+            & (w3v == pw3) & (lenid >> 20 == lens) & (lenid >= 0)
+        )
+        return jnp.where(ok, lenid & 0xFFFFF, -1)
+
+    if v == "flat8x2":
+        h1 = check(jnp.take(word_rows_cat, s1, axis=0, mode="clip"))
+        h2 = check(jnp.take(word_rows_cat, s2, axis=0, mode="clip"))
+    elif v == "flat4x2":
+        rows4 = jnp.concatenate(
+            [word_rows_cat[:, :3], word_rows_cat[:, 4:5]], axis=1
+        )
+        w3col = word_rows_cat[:, 3]
+        h1 = check(
+            jnp.take(rows4, s1, axis=0, mode="clip"),
+            jnp.take(w3col, s1, mode="clip"),
+        )
+        h2 = check(
+            jnp.take(rows4, s2, axis=0, mode="clip"),
+            jnp.take(w3col, s2, mode="clip"),
+        )
+    elif v == "cat8":
+        s = jnp.concatenate([s1, s2])
+        r = jnp.take(word_rows_cat, s, axis=0, mode="clip")
+        P = s1.shape[0]
+        h1, h2 = check(r[:P]), check(r[P:])
+    else:  # stack8
+        s = jnp.stack([s1, s2])
+        r = jnp.take(word_rows_cat, s, axis=0, mode="clip")
+        h1, h2 = check(r[0]), check(r[1])
+
+    hit = jnp.where(h1 < 0, h2, h1)
+    return jnp.where(short, hit, -1)
+
+
 class PieceTableV4(NamedTuple):
     """Stage-A v4 output; all device-resident."""
 
@@ -636,18 +695,9 @@ def stage_a_v4(
     if "wordprobe" in _ABLATE:  # pragma: no cover - profiling only
         hit = jnp.where(short & (s1 + s2 >= 0), 0, -1)
     else:
-        s = jnp.stack([s1, s2])                               # [2, P]
-        r = jnp.take(word_rows_cat, s, axis=0, mode="clip")   # [2, P, 8]
-        ok = (
-            (r[..., 0] == pw0[None]) & (r[..., 1] == pw1[None])
-            & (r[..., 2] == pw2[None]) & (r[..., 3] == pw3[None])
-            & (r[..., 4] >> 20 == lens[None]) & (r[..., 4] >= 0)
+        hit = _word_probe(
+            word_rows_cat, s1, s2, pw0, pw1, pw2, pw3, lens, short
         )
-        hit = jnp.where(ok[0], r[0, :, 4] & 0xFFFFF, -1)
-        hit = jnp.where(
-            (hit < 0) & ok[1], r[1, :, 4] & 0xFFFFF, hit
-        )
-        hit = jnp.where(short, hit, -1)
 
     # compact misses, grouped by length bucket (stable: stream order kept)
     miss = piece_valid & (hit < 0)
