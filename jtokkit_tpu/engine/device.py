@@ -112,6 +112,10 @@ class CorpusPlan(list):
     chunk_cache = None   # list[dict] per chunk: kind/variant/divs/caps
     n_tokens = None      # list[int] per ok-chunk live token count
     doc_counts = None    # list[np.ndarray] per ok-chunk per-doc counts
+    esc_counts = None    # list[int] per ok-chunk count of ids >= 4094
+    #                      (drives the 12-bit packed-fetch decision; exact
+    #                      across passes — tokens are recomputed from the
+    #                      same bytes, so the count is plan-stable)
 
 
 class DeviceEngine:
@@ -314,6 +318,51 @@ class DeviceEngine:
             return fn
 
         self._slice_tokens = _slice_pack_fn
+
+        # 12-bit packed fetch: the honest-encode critical path is the token
+        # D2H through ~33 MB/s of tunnel bandwidth, and 90% of english
+        # cl100k ids are < 4094 (low BPE ranks = frequent tokens). Codes
+        # 0..4093 ship in a 1.5 B/token plane (two 12-bit codes per 3
+        # bytes); code 4094 marks an escape whose full id rides a side
+        # stream in the lo16+bitplane format, consumed in order. Chosen
+        # per chunk from the plan-cached escape count (steady state only);
+        # high-escape chunks (CJK: high ids dominate) keep the 2 B format.
+        self._pack12_jits = {}
+
+        def _pack12_fn(pad: int, ecap: int):
+            fn = self._pack12_jits.get((pad, ecap))
+            if fn is None:
+                wide = self._fetch_wide
+
+                def pack(tokens):
+                    t = jax.lax.dynamic_slice_in_dim(tokens, 0, pad, axis=0)
+                    esc = t >= 4094
+                    c = jnp.where(esc, 4094, t).reshape(-1, 2)
+                    b0 = c[:, 0] & 0xFF
+                    b1 = (c[:, 0] >> 8) | ((c[:, 1] & 0xF) << 4)
+                    b2 = c[:, 1] >> 4
+                    plane = jnp.stack([b0, b1, b2], axis=1).astype(
+                        jnp.uint8
+                    ).reshape(-1)
+                    if ecap == 0:
+                        return plane, None, None
+                    pos = stage4.masked_positions(esc, ecap, pad)
+                    vals = jnp.take(t, jnp.minimum(pos, pad - 1),
+                                    mode="clip")
+                    lo = (vals & 0xFFFF).astype(jnp.uint16)
+                    if not wide:
+                        return plane, lo, None
+                    bits = ((vals >> 16) & 1).astype(jnp.uint8).reshape(-1, 8)
+                    w = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+                    return plane, lo, (bits * w[None, :]).sum(
+                        axis=1, dtype=jnp.uint8
+                    )
+
+                fn = jax.jit(pack)
+                self._pack12_jits[(pad, ecap)] = fn
+            return fn
+
+        self._pack12 = _pack12_fn
 
         self._slice_bytes_jits = {}
 
@@ -665,16 +714,39 @@ class DeviceEngine:
                 doc_counts = None
             if inline_fetch:
                 nt = plan.n_tokens[oki]
-                if nt:
+                ec = (
+                    plan.esc_counts[oki]
+                    if plan.esc_counts is not None else None
+                )
+                if nt and ec is not None:
+                    pad = min(_next_pow2(nt, 8192), tokens.shape[0])
+                    ecap = _next_pow2(ec, 1024) if ec else 0
+                    # 12-bit plane pays when its bytes (1.5 pad + 2.125
+                    # ecap) beat the 2-or-2.125 B/token direct format
+                    if ecap * 17 < pad * 4:
+                        plane, lo, hi = self._pack12(pad, ecap)(tokens)
+                        plane.copy_to_host_async()
+                        for a in (lo, hi):
+                            if a is not None:
+                                a.copy_to_host_async()
+                        fetch = ("p12", pad, ec, plane, lo, hi)
+                    else:
+                        lo, hi = self._slice_tokens(pad)(tokens)
+                        lo.copy_to_host_async()
+                        if hi is not None:
+                            hi.copy_to_host_async()
+                        fetch = (lo, hi)
+                elif nt:
                     pad = min(_next_pow2(nt, 8192), tokens.shape[0])
                     lo, hi = self._slice_tokens(pad)(tokens)
                     lo.copy_to_host_async()
                     if hi is not None:
                         hi.copy_to_host_async()
+                    fetch = (lo, hi)
                 else:
-                    lo = hi = None
+                    fetch = (None, None)
                 results.append(
-                    ("ok", parts, tokens, n_tokens, doc_counts, (lo, hi))
+                    ("ok", parts, tokens, n_tokens, doc_counts, fetch)
                 )
             else:
                 results.append(("ok", parts, tokens, n_tokens, doc_counts))
@@ -862,17 +934,24 @@ class DeviceEngine:
             if len(res) > 5:
                 # steady-state: pack + D2H copy already enqueued inside the
                 # dispatch loop (overlapping later chunks' compute)
-                lo, hi = res[5]
+                fetch = res[5]
             elif n_tokens:
                 pad = min(_next_pow2(n_tokens, 8192), tokens_dev.shape[0])
                 lo, hi = self._slice_tokens(pad)(tokens_dev)
                 lo.copy_to_host_async()
                 if hi is not None:
                     hi.copy_to_host_async()
+                fetch = (lo, hi)
             else:
-                lo = hi = None
-            fetches.append((parts, doc_counts, n_tokens, lo, hi))
+                fetch = (None, None)
+            fetches.append((parts, doc_counts, n_tokens, fetch))
         native_out = self._run_native_chunks(results)
+        # first encode pass over a plan: record per-chunk escape counts (the
+        # 12-bit packed-fetch decision for steady-state passes)
+        new_esc = (
+            [] if isinstance(plan, CorpusPlan) and plan.esc_counts is None
+            else None
+        )
         for ri, res in enumerate(results):
             if res[0] == "native":
                 for doc_idx, toks in native_out[ri]:
@@ -887,25 +966,58 @@ class DeviceEngine:
                         np.asarray(tmp[doc_idx], dtype=np.int32)
                     )
                 continue
-            parts, doc_counts, n_tokens, lo, hi = fetches[ri]
-            if lo is None:
-                tokens = np.zeros((0,), np.int32)
-            else:
-                tokens = np.asarray(lo)[:n_tokens].astype(np.int32)
-                if hi is not None:
-                    bits = np.unpackbits(
-                        np.asarray(hi), bitorder="little"
-                    )[:n_tokens].astype(np.int32)
-                    tokens |= bits << 16
+            parts, doc_counts, n_tokens, fetch = fetches[ri]
+            tokens = self._consume_fetch(fetch, n_tokens)
+            if new_esc is not None:
+                new_esc.append(int(np.count_nonzero(tokens >= 4094)))
             splits = np.cumsum(doc_counts[: len(parts)])[:-1]
             for doc_idx, toks in zip(parts, np.split(tokens, splits)):
                 parts_out[doc_idx].append(toks)
+        if new_esc is not None:
+            plan.esc_counts = new_esc
         empty = np.zeros((0,), np.int32)
         return [
             ps[0] if len(ps) == 1
             else (np.concatenate(ps) if ps else empty)
             for ps in parts_out
         ]
+
+    def _consume_fetch(self, fetch, n_tokens: int) -> np.ndarray:
+        """Materialize one chunk's token ids from its in-flight D2H arrays.
+
+        ``fetch`` is either (lo, hi) — uint16 low halves plus the optional
+        17th-bit plane — or ("p12", pad, esc_count, plane, lo, hi): the
+        12-bit packed plane (codes 0..4093 direct, 4094 = escape) with the
+        escapes' full ids on the side stream, consumed in stream order.
+        """
+        if isinstance(fetch[0], str) and fetch[0] == "p12":
+            _tag, pad, ec, plane, lo, hi = fetch
+            b = np.asarray(plane).reshape(-1, 3).astype(np.uint16)
+            c0 = b[:, 0] | ((b[:, 1] & 0xF) << 8)
+            c1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+            codes = np.stack([c0, c1], axis=1).reshape(-1)
+            tokens = codes[:n_tokens].astype(np.int32)
+            if ec:
+                esc_idx = np.flatnonzero(tokens == 4094)
+                vals = np.asarray(lo)[:ec].astype(np.int32)
+                if hi is not None:
+                    vals |= np.unpackbits(
+                        np.asarray(hi), bitorder="little"
+                    )[:ec].astype(np.int32) << 16
+                # escapes beyond n_tokens were masked out on device, so the
+                # stream is exactly the in-range escapes in order
+                tokens[esc_idx] = vals[: len(esc_idx)]
+            return tokens
+        lo, hi = fetch
+        if lo is None:
+            return np.zeros((0,), np.int32)
+        tokens = np.asarray(lo)[:n_tokens].astype(np.int32)
+        if hi is not None:
+            bits = np.unpackbits(
+                np.asarray(hi), bitorder="little"
+            )[:n_tokens].astype(np.int32)
+            tokens |= bits << 16
+        return tokens
 
     def encode_ordinary_batch(
         self, texts: Sequence[Optional[str]]
