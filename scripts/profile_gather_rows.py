@@ -68,7 +68,7 @@ def main():
             return fn
         return make
 
-    bench("[2,P] rows of 8  (stacked probe,今)", mk(rows8, idx))
+    bench("[2,P] rows of 8  (stacked probe)", mk(rows8, idx))
     bench("[2,P] rows of 4", mk(rows4, idx))
     bench("[2,P] rows of 2", mk(rows2, idx))
     bench("[P]   rows of 8  (one probe)", mk(rows8, idx1))
