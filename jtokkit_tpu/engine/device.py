@@ -127,7 +127,7 @@ class DeviceEngine:
         self.pattern = pattern
         self.packed = packed
         self.oracle = oracle
-        self._class_table = jnp.asarray(classify.class_table_array())
+        self._class_table = jnp.asarray(classify.packed_class_table_array())
         self._byte_to_id = jnp.asarray(packed.byte_to_id)
         self._byte_pair_id = jnp.asarray(packed.byte_pair_id)
 
@@ -266,12 +266,14 @@ class DeviceEngine:
                 else:
                     def seq_fn(buf, starts, lens, miss_sorted, group_start_b,
                                count_b, byte_to_id, _byte_pair_seed,
-                               pair_rows_cat, table_mask,
+                               pair_rows_cat, _table_mask,
                                _lanes=lanes, _cap=cap):
+                        # the mask must be STATIC: pair_lookup_cat slices
+                        # the stacked table into its two halves with it
                         cols, ids, active = pipeline.merge_bucket_v3(
                             buf, starts, lens, miss_sorted, group_start_b,
                             count_b, byte_to_id, self._byte_pair_id,
-                            pair_rows_cat, table_mask,
+                            pair_rows_cat, self.packed.table_mask,
                             lanes=_lanes, cap=_cap,
                         )
                         return cols, [(ids, active)]

@@ -39,6 +39,37 @@ def class_table_array() -> np.ndarray:
     return charclass.class_table()
 
 
+# Classes are 3 bits; packing 10 per int32 keeps the table at 111,412 rows,
+# under the measured ~2^17-row gather cliff (random gathers cost ~2.9 ns/row
+# below it and ~10.4 ns/row at 2^18 rows regardless of row width — the flat
+# 0x110000-entry int8 table paid the slow rate on every byte of unicode
+# chunks, ~8 ms/MB of CJK stage A).
+_PACK_PER_WORD = 10
+
+
+def packed_class_table_array() -> np.ndarray:
+    """The codepoint→class table packed 10 classes per int32 row."""
+    t = charclass.class_table().astype(np.int64)
+    n = t.shape[0]
+    rows = -(-n // _PACK_PER_WORD)
+    padded = np.zeros(rows * _PACK_PER_WORD, np.int64)
+    padded[:n] = t
+    packed = np.zeros(rows, np.int64)
+    for k in range(_PACK_PER_WORD):
+        packed |= padded[k::_PACK_PER_WORD] << (3 * k)
+    return packed.astype(np.int32)
+
+
+def _class_lookup(class_table: jnp.ndarray, cp: jnp.ndarray) -> jnp.ndarray:
+    """Class of each (clipped) codepoint; accepts the flat int8 table or
+    the packed int32 table (distinguished by dtype)."""
+    if class_table.dtype == jnp.int8:
+        return jnp.take(class_table, cp, mode="clip").astype(jnp.int32)
+    w = jnp.take(class_table, cp // _PACK_PER_WORD, mode="clip")
+    sh = (cp % _PACK_PER_WORD) * 3
+    return (w >> sh) & 7
+
+
 def decode_utf8(data: jnp.ndarray):
     """Per-byte UTF-8 structure.
 
@@ -96,7 +127,7 @@ def classify_bytes(data: jnp.ndarray, class_table: jnp.ndarray, n_valid=None):
     """
     cp, is_start, char_len = decode_utf8(data)
     cp_clipped = jnp.clip(cp, 0, charclass.MAX_CODEPOINT - 1)
-    cls_start = jnp.take(class_table, cp_clipped, mode="clip").astype(jnp.int32)
+    cls_start = _class_lookup(class_table, cp_clipped)
 
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)

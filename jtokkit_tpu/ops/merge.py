@@ -75,21 +75,24 @@ def pair_lookup_rows(u, v, pair_rows0, pair_rows1, table_mask):
 
 
 def pair_lookup_cat(u, v, pair_rows_cat, table_mask):
-    """(u, v) -> merged id, or -1 — BOTH cuckoo probes in ONE row gather.
+    """(u, v) -> merged id, or -1 — one row gather per cuckoo HALF.
 
     ``pair_rows_cat`` is the two cuckoo tables stacked along rows
-    ([2T, 4], table 1 offset by T = table_mask + 1), so the two probe
-    slots become one gather of a [2, ...] index array: same gathered rows,
-    half the gather-op launches (per-op fixed overhead matters at the
-    merge loop's small per-round shapes)."""
+    ([2T, 4], table 1 offset by T = table_mask + 1). The probes gather
+    from the constant-folded HALVES, not the stacked whole: random-gather
+    cost cliffs on table row count (~2.9 ns/row under ~2^17 rows, ~10.4
+    at 2^18, measured scripts/profile_gather_rows.py protocol), so a
+    2^18-row stacked table pays ~3.6x per probe. Batched lookup SITES
+    still share each gather via the leading index dim."""
     T = table_mask + 1
     s1 = _mix(u, v, _H1, table_mask)
-    s2 = _mix(u, v, _H2, table_mask) + T
-    s = jnp.stack([s1, s2])                       # [2, ...]
-    r = jnp.take(pair_rows_cat, s, axis=0, mode="clip")  # [2, ..., 4]
-    hit = (r[..., 0] == u[None]) & (r[..., 1] == v[None])
-    out = jnp.where(hit[0], r[0, ..., 2], -1)
-    return jnp.where(hit[1], r[1, ..., 2], out)
+    s2 = _mix(u, v, _H2, table_mask)
+    r1 = jnp.take(pair_rows_cat[:T], s1, axis=0, mode="clip")
+    r2 = jnp.take(pair_rows_cat[T:], s2, axis=0, mode="clip")
+    hit1 = (r1[..., 0] == u) & (r1[..., 1] == v)
+    hit2 = (r2[..., 0] == u) & (r2[..., 1] == v)
+    out = jnp.where(hit1, r1[..., 2], -1)
+    return jnp.where(hit2, r2[..., 2], out)
 
 
 def merge_rows_t2(mat_t, lens, byte_to_id, byte_pair_id, pair_rows0,

@@ -495,16 +495,21 @@ def masked_rows(mask, fields, size: int, fill):
 # index SHAPE the lowering sees, so the fastest variant is an empirical
 # choice:
 #   stack8  - ONE gather, [2, P] stacked index, 8-int rows     (0.478 s)
-#   flat8x2 - TWO gathers, flat [P] indices, 8-int rows        (0.443 s) <-
+#   flat8x2 - TWO gathers, flat [P] indices, 8-int rows        (0.443 s)
 #   flat4x2 - four flat gathers of narrow (4/1-wide) views     (0.568 s)
 #   cat8    - ONE gather, concatenated flat [2P] index         (0.460 s)
-# (32 MB english count-mode, same run, v5e; flat flat-index gathers beat
-# both the stacked-index form and any narrower-row decomposition - cost is
-# per ROW with a shape-dependent constant, not per element)
-_PROBE_VARIANT = os.environ.get("JTOKKIT_TPU_PROBE", "flat8x2")
+#   split8x2- TWO gathers into the two SEPARATE cuckoo halves  <- default
+# (32 MB english count-mode, same run, v5e). The decisive effect is TABLE
+# ROW COUNT, not row width: random gathers cost ~2.9 ns/row for tables up
+# to 2^17 rows and ~10.4 ns/row at 2^18 regardless of width (measured,
+# scripts/profile_gather_rows.py protocol with tables as jit arguments).
+# The stacked [2S, 8] table sits exactly at 2^18 rows, so every variant
+# probing it pays the cliff; split8x2 probes each 2^17-row half directly.
+_PROBE_VARIANT = os.environ.get("JTOKKIT_TPU_PROBE", "split8x2")
 
 
-def _word_probe(word_rows_cat, s1, s2, pw0, pw1, pw2, pw3, lens, short):
+def _word_probe(word_rows_cat, word_mask, s1, s2, pw0, pw1, pw2, pw3,
+                lens, short):
     """Exact whole-piece lookup: hit id or -1 per piece (reference direct
     hit, ``M/GptBytePairEncoding.java:81-83``)."""
     v = _PROBE_VARIANT
@@ -519,7 +524,12 @@ def _word_probe(word_rows_cat, s1, s2, pw0, pw1, pw2, pw3, lens, short):
         )
         return jnp.where(ok, lenid & 0xFFFFF, -1)
 
-    if v == "flat8x2":
+    if v == "split8x2":
+        # constant-folded halves: tables stay under the 2^17-row cliff
+        S = word_mask + 1
+        h1 = check(jnp.take(word_rows_cat[:S], s1, axis=0, mode="clip"))
+        h2 = check(jnp.take(word_rows_cat[S:], s2 - S, axis=0, mode="clip"))
+    elif v == "flat8x2":
         h1 = check(jnp.take(word_rows_cat, s1, axis=0, mode="clip"))
         h2 = check(jnp.take(word_rows_cat, s2, axis=0, mode="clip"))
     elif v == "flat4x2":
@@ -696,7 +706,8 @@ def stage_a_v4(
         hit = jnp.where(short & (s1 + s2 >= 0), 0, -1)
     else:
         hit = _word_probe(
-            word_rows_cat, s1, s2, pw0, pw1, pw2, pw3, lens, short
+            word_rows_cat, word_mask, s1, s2, pw0, pw1, pw2, pw3, lens,
+            short,
         )
 
     # compact misses, grouped by length bucket (stable: stream order kept)

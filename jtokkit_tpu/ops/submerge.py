@@ -143,9 +143,14 @@ def substring_ranks(mat_t, c_len, word_rows_cat, word_mask):
         ^ (qw[3].astype(jnp.uint32) * jnp.uint32(_W3_MIX))
     )
     s1 = _mix(hu, hv, _H1, word_mask)
-    s2 = _mix(hu, hv, _H2, word_mask) + (word_mask + 1)
-    s = jnp.stack([s1, s2])                                # [2, Q, cap]
-    r = jnp.take(word_rows_cat, s, axis=0, mode="clip")    # [2, Q, cap, 8]
+    s2 = _mix(hu, hv, _H2, word_mask)
+    S = word_mask + 1
+    # probe each constant-folded table half (row-count gather cliff at
+    # ~2^17 rows; the stacked [2S, 8] table pays ~3.6x per row)
+    r = jnp.stack([
+        jnp.take(word_rows_cat[:S], s1, axis=0, mode="clip"),
+        jnp.take(word_rows_cat[S:], s2, axis=0, mode="clip"),
+    ])                                                     # [2, Q, cap, 8]
     ok = (
         (r[..., 0] == qw[0][None]) & (r[..., 1] == qw[1][None])
         & (r[..., 2] == qw[2][None]) & (r[..., 3] == qw[3][None])
