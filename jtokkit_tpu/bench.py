@@ -25,6 +25,7 @@ Baseline for comparison: JTokkit single-thread per-encoding scores
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Optional
 
@@ -72,6 +73,46 @@ def _best_of(passes: int, fn):
     return best, out
 
 
+# process-lifetime caches: repeated run() calls (companion sweeps) reuse the
+# oracle and the device engine. The DeviceEngine is keyed by (vocab asset,
+# pattern) so p50k_edit shares p50k_base's compiled pipeline — they differ
+# only in special tokens, which encode_ordinary ignores (reference
+# M/EncodingFactory.java:92 shares the rank file the same way).
+_ORACLES: dict = {}
+_ENGINES: dict = {}
+
+
+def _oracle(encoding: str):
+    orc = _ORACLES.get(encoding)
+    if orc is None:
+        from .engine.oracle import OracleEngine
+        from .vocab.definitions import BUILTIN_DEFINITIONS
+        from .vocab.loader import load_builtin_ranks
+
+        d = BUILTIN_DEFINITIONS[encoding]
+        orc = OracleEngine(
+            d.name, d.pattern, load_builtin_ranks(d.vocab_name),
+            d.special_tokens,
+        )
+        _ORACLES[encoding] = orc
+    return orc
+
+
+def _device_engine(encoding: str):
+    from .vocab.definitions import BUILTIN_DEFINITIONS
+    from .vocab.loader import asset_path
+
+    d = BUILTIN_DEFINITIONS[encoding]
+    key = (asset_path(d.vocab_name), d.pattern)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        from .engine.device import DeviceEngine
+
+        eng = DeviceEngine.from_oracle(_oracle(encoding))
+        _ENGINES[key] = eng
+    return eng
+
+
 def run(
     mb: float = 16,
     encoding: str = "cl100k_base",
@@ -81,19 +122,25 @@ def run(
     passes: int = 3,
     verify: bool = True,
     threads: Optional[int] = None,
+    profile_dir: Optional[str] = None,
 ) -> dict:
-    from .engine.oracle import OracleEngine
+    orc = _oracle(encoding)
     from .vocab.definitions import BUILTIN_DEFINITIONS
-    from .vocab.loader import load_builtin_ranks
 
     d = BUILTIN_DEFINITIONS[encoding]
-    orc = OracleEngine(
-        d.name, d.pattern, load_builtin_ranks(d.vocab_name), d.special_tokens
-    )
 
     docs = _load_corpus(mb, corpus, flavor)
     nbytes = sum(len(t.encode("utf-8")) for t in docs)
     detail = {}
+
+    def _prof():
+        """Profiler context around the MEASURED passes only (--profile)."""
+        if profile_dir is None:
+            return contextlib.nullcontext()
+        import jax as _j
+
+        detail["profile_dir"] = profile_dir
+        return _j.profiler.trace(profile_dir)
 
     if mode == "host":
         elapsed, _ = _best_of(
@@ -115,9 +162,11 @@ def run(
         nat = NativeEngine(packed, d.pattern)
         nat.encode_ordinary(docs[0])  # warm
         if mode == "native":
-            elapsed, out = _best_of(
-                passes, lambda: [nat.encode_ordinary_array(t) for t in docs]
-            )
+            with _prof():
+                elapsed, out = _best_of(
+                    passes,
+                    lambda: [nat.encode_ordinary_array(t) for t in docs],
+                )
             total = sum(len(t) for t in out)
         else:
             import concurrent.futures as cf
@@ -125,9 +174,10 @@ def run(
 
             workers = threads or _os.cpu_count() or 2
             with cf.ThreadPoolExecutor(workers) as pool:
-                elapsed, out = _best_of(passes, lambda: list(
-                    pool.map(nat.encode_ordinary_array, docs)
-                ))
+                with _prof():
+                    elapsed, out = _best_of(passes, lambda: list(
+                        pool.map(nat.encode_ordinary_array, docs)
+                    ))
             total = sum(len(t) for t in out)
             detail["threads"] = workers
     elif mode == "tiktoken":
@@ -154,25 +204,26 @@ def run(
         # (benchmark/.../AbstractMultiThreadedBenchmark.java:35-45).
         import jax as _jax
 
-        from .engine.device import DeviceEngine
         from .parallel.mesh import data_mesh
         from .parallel.sharded import ShardedTokenizer
 
-        eng = DeviceEngine.from_oracle(orc)
+        eng = _device_engine(encoding)
         tok = ShardedTokenizer(eng, data_mesh())
         plan = tok.preload_corpus(docs)
         total = tok.count_tokens_corpus(None, plan=plan)  # warm + compile
         if mode == "sharded-count":
-            elapsed, got = _best_of(
-                passes, lambda: tok.count_tokens_corpus(None, plan=plan)
-            )
+            with _prof():
+                elapsed, got = _best_of(
+                    passes, lambda: tok.count_tokens_corpus(None, plan=plan)
+                )
             assert got == total
         else:
             tok.encode_ordinary_batch_arrays(None, plan=plan)  # warm
-            elapsed, out = _best_of(
-                passes,
-                lambda: tok.encode_ordinary_batch_arrays(None, plan=plan),
-            )
+            with _prof():
+                elapsed, out = _best_of(
+                    passes,
+                    lambda: tok.encode_ordinary_batch_arrays(None, plan=plan),
+                )
             assert sum(len(a) for a in out) == total
         detail["n_devices"] = tok.n_dev
         detail["backend"] = _jax.default_backend()
@@ -187,18 +238,17 @@ def run(
                     f"sharded parity failure on doc {i}"
                 )
     else:
-        from .engine.device import DeviceEngine
-
-        eng = DeviceEngine.from_oracle(orc)
+        eng = _device_engine(encoding)
         # corpus preloaded to HBM, mirroring the reference protocol's
         # RAM-preloaded corpus (reference benchmark/README.md:9-11); the
         # steady-state passes measure the encode pipeline, not the upload
         plan = eng.preload_corpus(docs)
         total = eng.count_tokens_corpus(docs, plan=plan)  # warm-up + compile
         if mode == "device-count":
-            elapsed, got = _best_of(
-                passes, lambda: eng.count_tokens_corpus(docs, plan=plan)
-            )
+            with _prof():
+                elapsed, got = _best_of(
+                    passes, lambda: eng.count_tokens_corpus(docs, plan=plan)
+                )
             assert got == total
         elif mode in ("decode", "device-decode"):
             # decode throughput over the corpus's own tokens; value is
@@ -209,21 +259,26 @@ def run(
             dec = (eng.decode_bytes_batch_device if mode == "device-decode"
                    else eng.decode_bytes_batch)
             dec(token_lists)  # warm
-            elapsed, out = _best_of(passes, lambda: dec(token_lists))
+            with _prof():
+                elapsed, out = _best_of(passes, lambda: dec(token_lists))
             assert sum(len(b) for b in out) == nbytes
         else:
             eng.encode_ordinary_batch_arrays(None, plan=plan)  # warm
             if mode == "device-lists":
-                elapsed, out = _best_of(passes, lambda: [
-                    a.tolist()
-                    for a in eng.encode_ordinary_batch_arrays(None, plan=plan)
-                ])
+                with _prof():
+                    elapsed, out = _best_of(passes, lambda: [
+                        a.tolist()
+                        for a in eng.encode_ordinary_batch_arrays(
+                            None, plan=plan)
+                    ])
                 assert sum(len(t) for t in out) == total
             else:  # device: honest encode, int32 array per document
-                elapsed, out = _best_of(
-                    passes,
-                    lambda: eng.encode_ordinary_batch_arrays(None, plan=plan),
-                )
+                with _prof():
+                    elapsed, out = _best_of(
+                        passes,
+                        lambda: eng.encode_ordinary_batch_arrays(
+                            None, plan=plan),
+                    )
                 assert sum(len(a) for a in out) == total
         if verify:
             import random
@@ -278,19 +333,11 @@ def run_scaling(
     """
     import jax as _jax
 
-    from .engine.device import DeviceEngine
-    from .engine.oracle import OracleEngine
     from .parallel.mesh import data_mesh
     from .parallel.sharded import ShardedTokenizer
     from .utils.corpus import generate
-    from .vocab.definitions import BUILTIN_DEFINITIONS
-    from .vocab.loader import load_builtin_ranks
 
-    d = BUILTIN_DEFINITIONS[encoding]
-    orc = OracleEngine(
-        d.name, d.pattern, load_builtin_ranks(d.vocab_name), d.special_tokens
-    )
-    eng = DeviceEngine.from_oracle(orc)
+    eng = _device_engine(encoding)
     n_all = len(_jax.devices())
     if sizes is None:
         sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_all]

@@ -49,8 +49,10 @@ _MIN_FLAT = 8192
 _MIN_ROWS = 128
 _SEP = 0  # separator byte value (marked invalid; value irrelevant)
 # Max flat-buffer size per device call; overridable (tests use small chunks
-# to keep compile times down on the CPU backend).
-_CHUNK_BYTES = int(os.environ.get("JTOKKIT_TPU_CHUNK", 1 << 20))
+# to keep compile times down on the CPU backend). Rounded down to even: the
+# 12-bit packed token fetch reshapes its pad slice to (-1, 2)/(-1, 3) pairs,
+# so an odd chunk size would fail at trace time with an opaque reshape error.
+_CHUNK_BYTES = max(2, int(os.environ.get("JTOKKIT_TPU_CHUNK", 1 << 20)) & ~1)
 # Quantized chunk shapes: each distinct (flat size, doc slots) pair costs a
 # compilation (slow through the remote-compile tunnel), so allow only a few.
 _FLAT_SIZES = tuple(
@@ -266,14 +268,19 @@ class DeviceEngine:
                 else:
                     def seq_fn(buf, starts, lens, miss_sorted, group_start_b,
                                count_b, byte_to_id, _byte_pair_seed,
-                               pair_rows_cat, _table_mask,
+                               _pair_rows_cat, _table_mask,
                                _lanes=lanes, _cap=cap):
-                        # the mask must be STATIC: pair_lookup_cat slices
-                        # the stacked table into its two halves with it
+                        # the stacked pair table is closed over STATICALLY
+                        # (not the traced arg): pair_lookup_cat's [:T]/[T:]
+                        # halves then fold eagerly at trace time into two
+                        # separate 2^17-row constants, keeping each probe
+                        # gather under the ~2^17-row gather cliff (a traced
+                        # operand would make them runtime slices of the
+                        # 2^18-row array)
                         cols, ids, active = pipeline.merge_bucket_v3(
                             buf, starts, lens, miss_sorted, group_start_b,
                             count_b, byte_to_id, self._byte_pair_id,
-                            pair_rows_cat, self.packed.table_mask,
+                            self._pair_rows_cat, self.packed.table_mask,
                             lanes=_lanes, cap=_cap,
                         )
                         return cols, [(ids, active)]
@@ -1006,8 +1013,14 @@ class DeviceEngine:
                     vals |= np.unpackbits(
                         np.asarray(hi), bitorder="little"
                     )[:ec].astype(np.int32) << 16
-                # escapes beyond n_tokens were masked out on device, so the
-                # stream is exactly the in-range escapes in order
+                # no device-side n_tokens mask is needed: the pad region of
+                # the tokens buffer is zero-filled (scatter_hits/_bucket
+                # write into jnp.zeros with mode="drop"), so positions >=
+                # n_tokens can never read as escapes (0 < 4094) — and
+                # masked_positions yields ascending positions, so the side
+                # stream's first len(esc_idx) values are exactly the
+                # in-range escapes in order. If the fill value ever
+                # changes, test_pack12 guards this invariant.
                 tokens[esc_idx] = vals[: len(esc_idx)]
             return tokens
         lo, hi = fetch

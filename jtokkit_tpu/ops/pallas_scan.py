@@ -151,10 +151,14 @@ def _scan_stacked(stacked, *, kinds, reverse, interpret):
     index_map = (lambda g: (0, grid - 1 - g, 0)) if reverse else (
         lambda g: (0, g, 0)
     )
+    # under shard_map the output varies over the same mesh axes as the
+    # input; without this the TPU lowering rejects the call ("vma on
+    # jax.ShapeDtypeStruct must not be None" when check_vma=True)
+    vma = getattr(jax.typeof(stacked), "vma", frozenset())
     return pl.pallas_call(
         functools.partial(_kernel, kinds=kinds, rows=rows, reverse=reverse),
         grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((L, Nr, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, Nr, 128), jnp.int32, vma=vma),
         in_specs=[pl.BlockSpec((L, rows, 128), index_map,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((L, rows, 128), index_map,
