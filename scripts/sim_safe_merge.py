@@ -186,6 +186,11 @@ def batched_merge(piece, ranks, id_to_bytes, minL, minR, id_len, stats):
             safe = [best]
             stats["fallback_rounds"] += 1
         stats["size_curve"][rounds] += m
+        # max surviving spans after this round, per round index (validates
+        # the device engine's width-halving compaction schedule)
+        stats["max_survivors"][rounds] = max(
+            stats["max_survivors"][rounds], m - len(safe)
+        )
         out = []
         out_lens = []
         i = 0
@@ -224,6 +229,7 @@ def main():
         stats = defaultdict(int)
         stats["rounds_hist"] = defaultdict(int)
         stats["size_curve"] = defaultdict(int)
+        stats["max_survivors"] = defaultdict(int)
         checked = 0
         mismatch = 0
         lens = []
@@ -260,6 +266,8 @@ def main():
         tot0 = curve[0][1] if curve else 1
         print("  size curve (round: active/round1):",
               [(r, round(c / tot0, 3)) for r, c in curve[:16]])
+        print("  max survivors after round:",
+              sorted(stats["max_survivors"].items())[:16])
 
 
 if __name__ == "__main__":
