@@ -85,9 +85,13 @@ def _quantize(n: int, sizes) -> int:
 
 def enable_compile_cache():
     """Persist XLA compilations next to the package (compiles through the
-    remote-compile tunnel are expensive; the cache makes them one-time)."""
+    remote-compile tunnel are expensive; the cache makes them one-time).
+    JTOKKIT_TPU_XLA_CACHE overrides the location (e.g. for cold-run
+    measurements); an empty value disables the override."""
     try:
-        cache_dir = os.path.join(os.path.dirname(__file__), "..", "_xla_cache")
+        cache_dir = os.environ.get("JTOKKIT_TPU_XLA_CACHE") or os.path.join(
+            os.path.dirname(__file__), "..", "_xla_cache"
+        )
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -112,6 +116,9 @@ class CorpusPlan(list):
     """
 
     chunk_cache = None   # list[dict] per chunk: kind/variant/divs/caps
+    mapped_count = None  # corpus-mapped count groups (stacked buffers +
+    #                      one-launch program per group; see
+    #                      DeviceEngine._mapped_count_groups)
     n_tokens = None      # list[int] per ok-chunk live token count
     doc_counts = None    # list[np.ndarray] per ok-chunk per-doc counts
     esc_counts = None    # list[int] per ok-chunk count of ids >= 4094
@@ -288,6 +295,69 @@ class DeviceEngine:
                 self._merge_bucket_jits[key] = fn
             return fn
 
+        # corpus-mapped steady-state count: stage A + every merge bucket +
+        # stage C for EVERY chunk of a group in ONE program (lax.map over
+        # the stacked [C, N] chunk buffers; the body is traced once, so
+        # compile cost matches a single chunk). Through the axon tunnel each
+        # program launch costs ~7 ms regardless of size (measured,
+        # scripts/profile_decompose.py), so the staged ~10-programs-per-
+        # chunk dispatch was launch-bound; one launch + one scalar fetch
+        # per pass removes that entirely. The staged v3 dispatch remains
+        # the cold path (per-bucket capacity discovery).
+        self._mapped_count_jits = {}
+
+        def _count_body(variant, divs, sig, buf, doc_ends):
+            table, _meta = stage4.stage_a_v4(
+                buf, doc_ends, class_table=self._class_table,
+                pattern=self.pattern,
+                word_rows_cat=self._word_rows_cat,
+                word_mask=self.packed.word_mask,
+                variant=variant, piece_div=divs[0], miss_div=divs[1],
+            )
+            counts = pipeline.counts_init(table.hit, table.n_pieces)
+            for (b, lanes, cap) in sig:
+                cols, ids, active = pipeline.merge_bucket_v3(
+                    buf, table.starts, table.lens,
+                    table.miss_sorted, table.group_start[b],
+                    table.bucket_counts[b], self._byte_to_id,
+                    self._byte_pair_id, self._pair_rows_cat,
+                    self.packed.table_mask, lanes=lanes, cap=cap,
+                )
+                counts = pipeline.counts_add_bucket(counts, cols, active)
+            offsets, n_tokens = pipeline.make_offsets(counts, table.n_pieces)
+            doc_counts = stage4.doc_token_counts_v4(
+                offsets, n_tokens, table.starts, doc_ends, table.n_pieces
+            )
+            return n_tokens, doc_counts
+
+        self._count_body = _count_body
+
+        def _mapped_count_fn(variant: str, divs: Tuple[int, int], sig):
+            # The block is python-UNROLLED, not lax.map'd: map/scan
+            # iterations execute strictly sequentially, each paying the
+            # body's serial memory-latency chain (~10 ms/chunk measured) —
+            # while unrolled bodies are independent, so XLA schedules them
+            # with cross-chunk ILP and the marginal chunk costs ~2 ms
+            # (scripts/profile_decompose.py slopes).
+            key = (variant, divs, sig)
+            fn = self._mapped_count_jits.get(key)
+            if fn is None:
+                def run(bufs, doc_ends_s):
+                    outs = [
+                        _count_body(
+                            variant, divs, sig, bufs[i], doc_ends_s[i]
+                        )
+                        for i in range(bufs.shape[0])
+                    ]
+                    nt = jnp.stack([o[0] for o in outs])
+                    dc = jnp.stack([o[1] for o in outs])
+                    return nt.sum(), nt, dc
+
+                fn = jax.jit(run)
+                self._mapped_count_jits[key] = fn
+            return fn
+
+        self._mapped_count = _mapped_count_fn
         self._counts_init = jax.jit(pipeline.counts_init)
         self._counts_add = jax.jit(pipeline.counts_add_bucket)
         self._make_offsets = jax.jit(pipeline.make_offsets)
@@ -1071,8 +1141,105 @@ class DeviceEngine:
                 counts[doc_idx] += int(c)
         return counts
 
+    def _mapped_count_groups(self, plan: "CorpusPlan"):
+        """Group a warmed plan's ok-chunks by compiled shape and stack their
+        device buffers for the one-launch mapped count program.
+
+        Groups are keyed by (variant, divs, flat size, doc slots); the
+        capacity signature is the per-bucket MAX over the group (capacities
+        are pow2-quantized, so the union normally equals every chunk's own
+        signature). Each group is split into subgroups of at most 8 chunks
+        (full blocks of 8, one pow2-padded remainder): 8 unrolled bodies
+        bound the block program's compile time while giving XLA enough
+        independent work to hide each body's memory-latency chain; an
+        all-zero pad chunk classifies to zero pieces and counts zero
+        tokens.
+        """
+        groups = plan.mapped_count
+        if groups is not None:
+            return groups
+        bykey = {}
+        for entry, c in zip(plan, plan.chunk_cache):
+            if c["kind"] != "ok":
+                continue
+            buf, doc_ends, _parts, _a, buf_dev, de_dev = entry
+            key = (c["variant"], c["divs"], len(buf), doc_ends.shape[0])
+            bykey.setdefault(key, []).append((buf_dev, de_dev, c))
+        groups = []
+        for (variant, divs, N, D), items in bykey.items():
+            by_bucket = {}
+            for _b, _d, c in items:
+                for (b, lanes, cap, _cnt) in c["caps"]:
+                    by_bucket[(b, lanes)] = max(
+                        by_bucket.get((b, lanes), 0), cap
+                    )
+            sig = tuple(
+                (b, lanes, cap)
+                for (b, lanes), cap in sorted(by_bucket.items())
+            )
+            fn = self._mapped_count(variant, divs, sig)
+            n = len(items)
+            parts: List[int] = [8] * (n // 8)
+            rem = n - 8 * len(parts)
+            pos = 0
+            for C in parts + ([_next_pow2(rem)] if rem else []):
+                sub = items[pos : pos + C]
+                pos += C
+                pad = C - len(sub)
+                bufs = jnp.stack(
+                    [b for b, _d, _c in sub]
+                    + [jnp.zeros((N,), jnp.uint8)] * pad
+                )
+                des = jnp.stack(
+                    [d for _b, d, _c in sub]
+                    + [jnp.zeros((D,), jnp.int32)] * pad
+                )
+                groups.append((fn, bufs, des, len(sub)))
+        plan.mapped_count = groups
+        return groups
+
     def count_tokens_corpus(self, texts: Sequence[Optional[str]], plan=None) -> int:
-        """Total token count; ONE scalar fetch for all non-fallback chunks."""
+        """Total token count; steady-state passes over a warmed plan run ONE
+        device program per chunk group + one scalar fetch (launch overhead
+        through the axon tunnel is ~7 ms/program — see _mapped_count)."""
+        mappable = (
+            isinstance(plan, CorpusPlan)
+            and getattr(plan, "chunk_cache", None) is not None
+            and self._submerge_max == 0
+            and self._exact_min_lanes > stage4.BUCKET_WIDTHS[-1]
+        )
+        if mappable:
+            groups = self._mapped_count_groups(plan)
+            total = 0
+            if groups:
+                sums = [fn(bufs, des)[0] for fn, bufs, des, _n in groups]
+                total += int(np.asarray(self._sum_scalars_jit(sums)))
+            # native/fallback chunks (rare routing) keep their host paths
+            others = [
+                ("native" if c["kind"] == "native" else "fallback",
+                 e[0], e[1], e[2])
+                for e, c in zip(plan, plan.chunk_cache)
+                if c["kind"] != "ok"
+            ]
+            if not others:
+                return total
+            native_out = self._run_native_chunks(others)
+            for ri, res in enumerate(others):
+                if res[0] == "native":
+                    total += sum(len(toks) for _d, toks in native_out[ri])
+                else:
+                    _, buf, doc_ends, parts = res
+                    tmp: List[List[int]] = [[] for _ in range(len(parts))]
+                    remap = {
+                        orig: j
+                        for j, orig in enumerate(dict.fromkeys(parts))
+                    }
+                    local_parts = [remap[p] for p in parts]
+                    self._encode_chunk_fallback(
+                        buf, doc_ends, local_parts, tmp
+                    )
+                    total += sum(len(t) for t in tmp)
+            return total
         results = self._process_chunks(texts, want_tokens=False, plan=plan)
         total = 0
         ok = [r for r in results if r[0] == "ok"]
