@@ -168,6 +168,12 @@ class DeviceEngine:
                       zeros_word, zeros_word, zeros_word], axis=1)
             for t in (0, 1)
         ], axis=0))
+        # the two 2^17-row halves as separate buffers: passed as jit
+        # ARGUMENTS to stage A (see _stage_a_fn note on gather provenance)
+        S_half = packed.word_mask + 1
+        self._word_rows_halves = (
+            self._word_rows_cat[:S_half], self._word_rows_cat[S_half:]
+        )
 
         # legacy scalar-table views (sharded DP path, graft entry)
         self._cuckoo_u = jnp.asarray(packed.cuckoo_u)
@@ -188,23 +194,38 @@ class DeviceEngine:
             )
 
         # stage A v4: jits keyed on (variant, divs); compiled shapes are
-        # additionally keyed by the input shapes via the jit cache
+        # additionally keyed by the input shapes via the jit cache. The
+        # word table rides as TWO separate 2^17-row half ARGUMENTS
+        # (supplied by the wrapper, so call sites keep the (buf, doc_ends)
+        # signature): argument buffers gather ~2x faster than closure
+        # constants on v5e, and separate halves keep every gather operand
+        # out of the 2^18-row lowering bad zone — passing the stacked
+        # table as one argument and slicing in-program measured SLOWER
+        # end-to-end than constants (the slice fuses into the gather).
+        # The class table stays a constant: it is only gathered on the
+        # unicode variant and showed no argument-passing win.
         self._stage_a_jits = {}
 
         def _stage_a_fn(variant: str, divs: Tuple[int, int]):
             key = (variant, divs)
             fn = self._stage_a_jits.get(key)
             if fn is None:
-                fn = jax.jit(functools.partial(
+                jitted = jax.jit(functools.partial(
                     stage4.stage_a_v4,
                     class_table=self._class_table,
                     pattern=self.pattern,
-                    word_rows_cat=self._word_rows_cat,
                     word_mask=self.packed.word_mask,
                     variant=variant,
                     piece_div=divs[0],
                     miss_div=divs[1],
                 ))
+
+                def fn(buf, doc_ends, _jitted=jitted):
+                    return _jitted(
+                        buf, doc_ends,
+                        word_rows_cat=self._word_rows_halves,
+                    )
+
                 self._stage_a_jits[key] = fn
             return fn
 
@@ -260,14 +281,15 @@ class DeviceEngine:
                 elif use_exact:
                     def exact_fn(buf, starts, lens, miss_sorted,
                                  group_start_b, count_b, byte_to_id,
-                                 byte_pair_seed, _pair_rows_cat, _table_mask,
+                                 byte_pair_seed, pair_rows_cat, _table_mask,
                                  _lanes=lanes, _cap=cap):
-                        # split tables closed over statically (the stacked
-                        # view can't be sliced by the traced mask arg)
+                        # halves sliced in-program from the traced stacked
+                        # table (fast gather regime; see seq_fn note)
+                        T = self.packed.table_mask + 1
                         return merge_exact.merge_bucket_exact(
                             buf, starts, lens, miss_sorted, group_start_b,
                             count_b, byte_to_id, byte_pair_seed,
-                            self._pair_rows0, self._pair_rows1,
+                            pair_rows_cat[:T], pair_rows_cat[T:],
                             self.packed.table_mask,
                             lanes=_lanes, cap=_cap,
                         )
@@ -277,13 +299,12 @@ class DeviceEngine:
                                count_b, byte_to_id, _byte_pair_seed,
                                _pair_rows_cat, _table_mask,
                                _lanes=lanes, _cap=cap):
-                        # the stacked pair table is closed over STATICALLY
-                        # (not the traced arg): pair_lookup_cat's [:T]/[T:]
-                        # halves then fold eagerly at trace time into two
-                        # separate 2^17-row constants, keeping each probe
-                        # gather under the ~2^17-row gather cliff (a traced
-                        # operand would make them runtime slices of the
-                        # 2^18-row array)
+                        # the stacked pair table is closed over as a
+                        # CONSTANT: measured end-to-end on v5e this matched
+                        # the best config; passing it as a traced argument
+                        # with in-program half slices regressed count mode
+                        # ~2x (the slices fuse into the gathers, putting a
+                        # 2^18-row operand in the bad lowering zone)
                         cols, ids, active = pipeline.merge_bucket_v3(
                             buf, starts, lens, miss_sorted, group_start_b,
                             count_b, byte_to_id, self._byte_pair_id,
@@ -306,11 +327,11 @@ class DeviceEngine:
         # the cold path (per-bucket capacity discovery).
         self._mapped_count_jits = {}
 
-        def _count_body(variant, divs, sig, buf, doc_ends):
+        def _count_body(variant, divs, sig, buf, doc_ends, word_rows):
             table, _meta = stage4.stage_a_v4(
                 buf, doc_ends, class_table=self._class_table,
                 pattern=self.pattern,
-                word_rows_cat=self._word_rows_cat,
+                word_rows_cat=word_rows,
                 word_mask=self.packed.word_mask,
                 variant=variant, piece_div=divs[0], miss_div=divs[1],
             )
@@ -333,19 +354,19 @@ class DeviceEngine:
         self._count_body = _count_body
 
         def _mapped_count_fn(variant: str, divs: Tuple[int, int], sig):
-            # The block is python-UNROLLED, not lax.map'd: map/scan
-            # iterations execute strictly sequentially, each paying the
-            # body's serial memory-latency chain (~10 ms/chunk measured) —
-            # while unrolled bodies are independent, so XLA schedules them
-            # with cross-chunk ILP and the marginal chunk costs ~2 ms
-            # (scripts/profile_decompose.py slopes).
+            # The block is python-UNROLLED, not lax.map'd (scan iterations
+            # would re-pay loop plumbing per chunk for no benefit — TPU
+            # executes HLOs sequentially either way). The word-table
+            # halves ride as traced arguments (see _stage_a_fn note); the
+            # wrapper binds them so callers pass only (bufs, doc_ends).
             key = (variant, divs, sig)
             fn = self._mapped_count_jits.get(key)
             if fn is None:
-                def run(bufs, doc_ends_s):
+                def run(bufs, doc_ends_s, word_rows):
                     outs = [
                         _count_body(
-                            variant, divs, sig, bufs[i], doc_ends_s[i]
+                            variant, divs, sig, bufs[i], doc_ends_s[i],
+                            word_rows,
                         )
                         for i in range(bufs.shape[0])
                     ]
@@ -353,7 +374,13 @@ class DeviceEngine:
                     dc = jnp.stack([o[1] for o in outs])
                     return nt.sum(), nt, dc
 
-                fn = jax.jit(run)
+                jitted = jax.jit(run)
+
+                def fn(bufs, doc_ends_s, _jitted=jitted):
+                    return _jitted(
+                        bufs, doc_ends_s, self._word_rows_halves
+                    )
+
                 self._mapped_count_jits[key] = fn
             return fn
 

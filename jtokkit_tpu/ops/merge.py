@@ -78,12 +78,13 @@ def pair_lookup_cat(u, v, pair_rows_cat, table_mask):
     """(u, v) -> merged id, or -1 — one row gather per cuckoo HALF.
 
     ``pair_rows_cat`` is the two cuckoo tables stacked along rows
-    ([2T, 4], table 1 offset by T = table_mask + 1). The probes gather
-    from the constant-folded HALVES, not the stacked whole: random-gather
-    cost cliffs on table row count (~2.9 ns/row under ~2^17 rows, ~10.4
-    at 2^18, measured scripts/profile_gather_rows.py protocol), so a
-    2^18-row stacked table pays ~3.6x per probe. Batched lookup SITES
-    still share each gather via the leading index dim."""
+    ([2T, 4], table 1 offset by T = table_mask + 1), passed as a TRACED
+    argument; the [:T]/[T:] halves are in-program slices. Measured on v5e
+    (scripts/profile_gather_provenance.py): gathers from in-program slices
+    of an argument run ~3.1 ns/row, closed-over constants ~6.5 ns/row,
+    and whole 2^18-row operands ~11 ns/row (an XLA lowering bad zone —
+    2^17 and 2^20 are both fast). Batched lookup SITES still share each
+    gather via the leading index dim."""
     T = table_mask + 1
     s1 = _mix(u, v, _H1, table_mask)
     s2 = _mix(u, v, _H2, table_mask)

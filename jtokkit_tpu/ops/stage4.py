@@ -524,8 +524,18 @@ def _word_probe(word_rows_cat, word_mask, s1, s2, pw0, pw1, pw2, pw3,
         )
         return jnp.where(ok, lenid & 0xFFFFF, -1)
 
-    if v == "split8x2":
-        # constant-folded halves: tables stay under the 2^17-row cliff
+    if isinstance(word_rows_cat, tuple):
+        # the production layout: two separate 2^17-row half tables, passed
+        # as jit ARGUMENTS — argument buffers gather ~2x faster than
+        # closure constants on v5e, and separate buffers keep every
+        # operand out of the 2^18-row lowering bad zone (in-program slices
+        # of one stacked argument fused into the gathers and measured
+        # SLOWER end-to-end; scripts/profile_gather_provenance.py)
+        half0, half1 = word_rows_cat
+        S = word_mask + 1
+        h1 = check(jnp.take(half0, s1, axis=0, mode="clip"))
+        h2 = check(jnp.take(half1, s2 - S, axis=0, mode="clip"))
+    elif v == "split8x2":
         S = word_mask + 1
         h1 = check(jnp.take(word_rows_cat[:S], s1, axis=0, mode="clip"))
         h2 = check(jnp.take(word_rows_cat[S:], s2 - S, axis=0, mode="clip"))

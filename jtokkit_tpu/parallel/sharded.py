@@ -66,13 +66,17 @@ class ShardedTokenizer:
         # ---- stage A: one shard_map'd jit per (divs) variant -------------
         self._stage_a_jits = {}
 
+        def _rspec(x):
+            # replicated (unsharded) spec for a broadcast table operand
+            return P(*([None] * x.ndim))
+
         def _stage_a(divs: Tuple[int, int]):
             fn = self._stage_a_jits.get(divs)
             if fn is None:
-                def per_shard(buf, doc_ends):
+                def per_shard(buf, doc_ends, wr0, wr1):
                     t, meta = stage4.stage_a_v4(
                         buf[0], doc_ends[0], eng._class_table, eng.pattern,
-                        eng._word_rows_cat, eng.packed.word_mask,
+                        (wr0, wr1), eng.packed.word_mask,
                         variant="unicode", piece_div=divs[0],
                         miss_div=divs[1],
                     )
@@ -80,15 +84,26 @@ class ShardedTokenizer:
                            t.group_start, t.bucket_counts, meta)
                     return tuple(x[None] for x in out)
 
-                def wrapped(buf, doc_ends):
+                # the word-table halves ride as TRACED, replicated
+                # arguments — the measured-fastest feed for the probe
+                # gathers (engine _stage_a_fn note); other tables stay
+                # closure constants, matching the single-chip engine
+                def wrapped(buf, doc_ends, wr0, wr1):
                     out_specs = tuple([P(DATA_AXIS, None)] * 7)
                     return jax.shard_map(
                         per_shard, mesh=self.mesh,
-                        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+                        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                                  _rspec(wr0), _rspec(wr1)),
                         out_specs=out_specs,
-                    )(buf, doc_ends)
+                    )(buf, doc_ends, wr0, wr1)
 
-                fn = jax.jit(wrapped)
+                jitted = jax.jit(wrapped)
+
+                def fn(buf, doc_ends, _jitted=jitted):
+                    return _jitted(
+                        buf, doc_ends, *eng._word_rows_halves
+                    )
+
                 self._stage_a_jits[divs] = fn
             return fn
 
