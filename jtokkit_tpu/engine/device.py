@@ -38,7 +38,7 @@ import numpy as np
 
 from ..ops import (
     boundaries, classify, decode as decode_ops, merge, merge_exact,
-    pipeline, stage4, submerge,
+    pipeline, stage4,
 )
 from ..vocab import tables as vtables
 from ..vocab.loader import asset_path
@@ -240,45 +240,12 @@ class DeviceEngine:
         self._exact_min_lanes = int(
             os.environ.get("JTOKKIT_TPU_EXACT_MIN_LANES", 1 << 30)
         )
-        # Substring-rank Pallas merge (ops/submerge): buckets up to this
-        # lane width run the VMEM-resident kernel over precomputed substring
-        # ranks (ONE stacked word-table probe replaces every in-loop pair
-        # lookup). Opt-in (JTOKKIT_TPU_SUBMERGE=<max lanes>): measured on
-        # v5e (32 MB english, count mode) the kernel's substring precompute
-        # gathers cost MORE than the sequential XLA merge it replaces —
-        # 84.2 MB/s off vs 74.4 (lanes<=8) vs 66.8 (lanes<=16) — because
-        # lax.while_loop rounds execute on-device (not host-dispatched) and
-        # the small buckets' merges are already ~0.4 ms/MB. Kept as a
-        # validated alternative engine; see docs/perf-notes.md.
-        self._submerge_max = min(
-            int(os.environ.get("JTOKKIT_TPU_SUBMERGE", "0")),
-            submerge.MAX_LANES,
-        )
-        self._submerge_interpret = jax.default_backend() != "tpu"
-
         def _merge_bucket_fn(lanes: int, cap: int):
             use_exact = lanes >= self._exact_min_lanes
-            use_sub = (
-                not use_exact and lanes <= self._submerge_max
-                and cap % 128 == 0
-            )
-            key = (lanes, cap, use_exact, use_sub)
+            key = (lanes, cap, use_exact)
             fn = self._merge_bucket_jits.get(key)
             if fn is None:
-                if use_sub:
-                    def sub_fn(buf, starts, lens, miss_sorted,
-                               group_start_b, count_b, byte_to_id,
-                               _byte_pair_seed, _pair_rows_cat, _table_mask,
-                               _lanes=lanes, _cap=cap):
-                        cols, ids, active = submerge.merge_bucket_sub(
-                            buf, starts, lens, miss_sorted, group_start_b,
-                            count_b, byte_to_id, self._word_rows_cat,
-                            self.packed.word_mask, lanes=_lanes, cap=_cap,
-                            interpret=self._submerge_interpret,
-                        )
-                        return cols, [(ids, active)]
-                    fn = jax.jit(sub_fn)
-                elif use_exact:
+                if use_exact:
                     def exact_fn(buf, starts, lens, miss_sorted,
                                  group_start_b, count_b, byte_to_id,
                                  byte_pair_seed, pair_rows_cat, _table_mask,
@@ -1227,12 +1194,12 @@ class DeviceEngine:
 
     def count_tokens_corpus(self, texts: Sequence[Optional[str]], plan=None) -> int:
         """Total token count; steady-state passes over a warmed plan run ONE
-        device program per chunk group + one scalar fetch (launch overhead
-        through the axon tunnel is ~7 ms/program — see _mapped_count)."""
+        device program per 8-chunk group + one scalar fetch — minimal
+        dispatch/fetch surface (the compute itself is the bound: TPU
+        executes the chunk bodies sequentially either way)."""
         mappable = (
             isinstance(plan, CorpusPlan)
             and getattr(plan, "chunk_cache", None) is not None
-            and self._submerge_max == 0
             and self._exact_min_lanes > stage4.BUCKET_WIDTHS[-1]
         )
         if mappable:
