@@ -230,37 +230,33 @@ class DeviceEngine:
             return fn
 
         self._merge_bucket_jits = {}
-        # Merge-engine crossover: the exact batched engine (ops/merge_exact)
-        # converges in fewer rounds but costs several extra column scans and
-        # [W,cap] gathers per round; measured on TPU v5e it is ~3x slower
-        # than the sequential-step engine on english text and its large-lane
-        # XLA program compiles pathologically slowly, so it is OPT-IN:
-        # buckets with lanes >= JTOKKIT_TPU_EXACT_MIN_LANES use it
-        # (default: never).
-        self._exact_min_lanes = int(
-            os.environ.get("JTOKKIT_TPU_EXACT_MIN_LANES", 1 << 30)
+        # Merge-engine crossover: buckets with lanes >= JTOKKIT_TPU_WIDE_MIN
+        # run the wide-bucket HYBRID (ops/merge_exact): one exact batched
+        # byte round performs the char-assembly merges that dominate long
+        # CJK/punctuation pieces, then the SAME sequential step as the
+        # narrow engine runs on a width-halving compacted state, so late
+        # rounds touch a shrinking matrix instead of the full [W, cap].
+        self._wide_min_lanes = int(
+            os.environ.get("JTOKKIT_TPU_WIDE_MIN", 1 << 30)
         )
+
         def _merge_bucket_fn(lanes: int, cap: int):
-            use_exact = lanes >= self._exact_min_lanes
-            key = (lanes, cap, use_exact)
+            use_wide = lanes >= self._wide_min_lanes
+            key = (lanes, cap, use_wide)
             fn = self._merge_bucket_jits.get(key)
             if fn is None:
-                if use_exact:
-                    def exact_fn(buf, starts, lens, miss_sorted,
-                                 group_start_b, count_b, byte_to_id,
-                                 byte_pair_seed, pair_rows_cat, _table_mask,
-                                 _lanes=lanes, _cap=cap):
-                        # halves sliced in-program from the traced stacked
-                        # table (fast gather regime; see seq_fn note)
-                        T = self.packed.table_mask + 1
+                if use_wide:
+                    def wide_fn(buf, starts, lens, miss_sorted,
+                                group_start_b, count_b, byte_to_id,
+                                byte_pair_seed, _pair_rows_cat, _table_mask,
+                                _lanes=lanes, _cap=cap):
                         return merge_exact.merge_bucket_exact(
                             buf, starts, lens, miss_sorted, group_start_b,
                             count_b, byte_to_id, byte_pair_seed,
-                            pair_rows_cat[:T], pair_rows_cat[T:],
-                            self.packed.table_mask,
+                            self._pair_rows_cat, self.packed.table_mask,
                             lanes=_lanes, cap=_cap,
                         )
-                    fn = jax.jit(exact_fn)
+                    fn = jax.jit(wide_fn)
                 else:
                     def seq_fn(buf, starts, lens, miss_sorted, group_start_b,
                                count_b, byte_to_id, _byte_pair_seed,
@@ -1197,10 +1193,20 @@ class DeviceEngine:
         device program per 8-chunk group + one scalar fetch — minimal
         dispatch/fetch surface (the compute itself is the bound: TPU
         executes the chunk bodies sequentially either way)."""
+        # wide-bucket (hybrid-engine) chunks stay on the staged dispatch:
+        # unrolling 8 hybrid phase chains into one mapped block program
+        # explodes compile time, and wide-piece corpora are merge-bound
+        # anyway (dispatch consolidation buys nothing there)
         mappable = (
             isinstance(plan, CorpusPlan)
             and getattr(plan, "chunk_cache", None) is not None
-            and self._exact_min_lanes > stage4.BUCKET_WIDTHS[-1]
+            and not any(
+                c["kind"] == "ok" and any(
+                    lanes >= self._wide_min_lanes
+                    for (_b, lanes, _cap, _cnt) in c["caps"]
+                )
+                for c in plan.chunk_cache
+            )
         )
         if mappable:
             groups = self._mapped_count_groups(plan)

@@ -175,6 +175,76 @@ import os as _os
 _UNROLL = max(1, int(_os.environ.get("JTOKKIT_TPU_MERGE_UNROLL", "1")))
 
 
+def t3_round(ids, rank, active, pair_rows_cat, table_mask):
+    """ONE sequential merge step per column of a [W, R] state (the
+    reference's single iteration, ``M/GptBytePairEncoding.java:223-263``):
+    leftmost min-rank pair merges, the two affected neighbor ranks
+    recompute via one batched cuckoo row gather. Shared by
+    :func:`merge_rows_t3` (full byte-seeded merge) and the wide-bucket
+    hybrid engine (:func:`jtokkit_tpu.ops.merge_exact.merge_bucket_exact`),
+    which enters mid-merge with compacted state.
+
+    Returns (ids, rank, active) after the step.
+    """
+    W, R = ids.shape
+    subl = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    BIG = jnp.int32(W + 1)
+
+    def at_sublane(x, m, fill):
+        return jnp.min(jnp.where(subl == m[None, :], x, fill), axis=0)
+
+    m = jnp.argmin(rank, axis=0).astype(jnp.int32)
+    minval = jnp.min(rank, axis=0)
+    do = minval < MAX_RANK
+
+    after_m = active & (subl > m[None, :])
+    nxt = jnp.min(jnp.where(after_m, subl, BIG), axis=0)
+    prv = jnp.max(jnp.where(active & (subl < m[None, :]), subl, -1), axis=0)
+    nxt2 = jnp.min(jnp.where(active & (subl > nxt[None, :]), subl, BIG), axis=0)
+
+    one_m = subl == m[None, :]
+    one_n = subl == nxt[None, :]
+    do_row = do[None, :]
+    new_ids = jnp.where(one_m & do_row, minval[None, :], ids)
+    new_active = active & ~(one_n & do_row)
+
+    id_m = minval
+    id_prv = at_sublane(ids, prv, MAX_RANK)
+    id_nxt2 = at_sublane(ids, nxt2, MAX_RANK)
+    # both neighbor-rank sites in one batched lookup (one row gather)
+    found = pair_lookup_cat(
+        jnp.stack([id_m, id_prv]), jnp.stack([id_nxt2, id_m]),
+        pair_rows_cat, table_mask,
+    )
+    found = jnp.where(found < 0, MAX_RANK, found)
+    rank_m = jnp.where(nxt2 <= W, found[0], MAX_RANK)
+    rank_prv = jnp.where(prv >= 0, found[1], MAX_RANK)
+
+    one_p = subl == prv[None, :]
+    new_rank = jnp.where(one_m & do_row, rank_m[None, :], rank)
+    new_rank = jnp.where(one_p & do_row, rank_prv[None, :], new_rank)
+    new_rank = jnp.where(one_n & do_row, MAX_RANK, new_rank)
+    return new_ids, new_rank, new_active
+
+
+def rank_from_state(ids, active, pair_rows_cat, table_mask):
+    """Pair ranks for a mid-merge [W, R] state: rank[w] = vocab rank of
+    (span w, next active span in its column), MAX_RANK when absent. ONE
+    full-matrix batched lookup; used to (re)enter the sequential engine
+    after batched rounds or compaction."""
+    W, R = ids.shape
+    nxt_id = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a),
+        jnp.where(active, ids, -1), reverse=True, axis=0,
+    )
+    nxt_id = jnp.concatenate(
+        [nxt_id[1:], jnp.full((1, R), -1, jnp.int32)], axis=0
+    )
+    found = pair_lookup_cat(ids, nxt_id, pair_rows_cat, table_mask)
+    has = active & (nxt_id >= 0)
+    return jnp.where(has & (found >= 0), found, MAX_RANK)
+
+
 def merge_rows_t3(mat_t, lens, byte_to_id, byte_pair_id, pair_rows_cat,
                   table_mask, *, unroll: int | None = None):
     """Transposed merge with BOTH lookup sites and BOTH cuckoo probes of a
@@ -197,50 +267,15 @@ def merge_rows_t3(mat_t, lens, byte_to_id, byte_pair_id, pair_rows_cat,
     rank = jnp.where(is_pair, jnp.take(byte_pair_id, b * 256 + b_next), -1)
     rank = jnp.where(rank < 0, MAX_RANK, rank)
 
-    BIG = jnp.int32(W + 1)
-
-    def at_sublane(x, m, fill):
-        return jnp.min(jnp.where(subl == m[None, :], x, fill), axis=0)
-
     def cond(state):
         return state[3]
 
     def body(state):
         ids, rank, active, _ = state
-        m = jnp.argmin(rank, axis=0).astype(jnp.int32)
-        minval = jnp.min(rank, axis=0)
-        do = minval < MAX_RANK
-
-        after_m = active & (subl > m[None, :])
-        nxt = jnp.min(jnp.where(after_m, subl, BIG), axis=0)
-        prv = jnp.max(jnp.where(active & (subl < m[None, :]), subl, -1), axis=0)
-        nxt2 = jnp.min(jnp.where(active & (subl > nxt[None, :]), subl, BIG), axis=0)
-
-        one_m = subl == m[None, :]
-        one_n = subl == nxt[None, :]
-        do_row = do[None, :]
-        new_ids = jnp.where(one_m & do_row, minval[None, :], ids)
-        new_active = active & ~(one_n & do_row)
-
-        id_m = minval
-        id_prv = at_sublane(ids, prv, MAX_RANK)
-        id_nxt2 = at_sublane(ids, nxt2, MAX_RANK)
-        # both neighbor-rank sites in one batched lookup (one row gather)
-        found = pair_lookup_cat(
-            jnp.stack([id_m, id_prv]), jnp.stack([id_nxt2, id_m]),
-            pair_rows_cat, table_mask,
+        ids, rank, active = t3_round(
+            ids, rank, active, pair_rows_cat, table_mask
         )
-        found = jnp.where(found < 0, MAX_RANK, found)
-        rank_m = jnp.where(nxt2 <= W, found[0], MAX_RANK)
-        rank_prv = jnp.where(prv >= 0, found[1], MAX_RANK)
-
-        one_p = subl == prv[None, :]
-        new_rank = jnp.where(one_m & do_row, rank_m[None, :], rank)
-        new_rank = jnp.where(one_p & do_row, rank_prv[None, :], new_rank)
-        new_rank = jnp.where(one_n & do_row, MAX_RANK, new_rank)
-
-        any_left = jnp.any(jnp.min(new_rank) < MAX_RANK)
-        return new_ids, new_rank, new_active, any_left
+        return ids, rank, active, jnp.any(jnp.min(rank) < MAX_RANK)
 
     k = _UNROLL if unroll is None else max(1, unroll)
 

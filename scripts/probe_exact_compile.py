@@ -1,9 +1,7 @@
-"""Standalone compile/run timing of the exact batched merge per bucket.
+"""Standalone compile/run timing of the wide-bucket hybrid merge.
 
-The full-bench attempt at JTOKKIT_TPU_EXACT_MIN_LANES=256 never finished
-inside 40 minutes; this isolates WHERE that time goes: explicit
-jit.lower().compile() wall-clock per (lanes, cap), then steady-state run
-time on CJK-shaped data (letter runs of 3-byte chars), per phase count.
+Explicit jit.lower().compile() wall-clock per (lanes, cap), then
+steady-state run time on CJK-shaped data (letter runs of 3-byte chars).
 
 Usage: python scripts/probe_exact_compile.py [lanes] [cap]
 """
@@ -59,7 +57,7 @@ def main(lanes=256, cap=512):
         cols, outs = merge_exact.merge_bucket_exact(
             buf_d, st, ln, ms, jnp.int32(0), jnp.int32(n_pieces),
             eng._byte_to_id, eng._byte_pair_seed,
-            eng._pair_rows0, eng._pair_rows1, eng.packed.table_mask,
+            eng._pair_rows_cat, eng.packed.table_mask,
             lanes=lanes, cap=cap,
         )
         return sum((ids * act).sum() + act.sum() for ids, act in outs)

@@ -1,8 +1,9 @@
-"""Differential tests for the exact batched merge engine (ops/merge_exact).
+"""Differential tests for the wide-bucket hybrid merge (ops/merge_exact).
 
 Every padded-bucket merge must reproduce the host oracle's sequential
-byte-pair merge (reference ``M/GptBytePairEncoding.java:200-275``) token for
-token, including the equal-rank chain and forced-step paths.
+byte-pair merge (reference ``M/GptBytePairEncoding.java:200-275``) token
+for token, including the batched byte round's equal-rank chain and
+forced-step paths and the width-halving compaction phases.
 """
 
 import random
@@ -28,20 +29,20 @@ def setup(enc_name):
         ranks = load_builtin_ranks(d.vocab_name)
         packed = vtables.load_packed(enc_name, ranks, asset_path(enc_name))
         zeros = np.zeros_like(packed.cuckoo_u[0])
-        rows0 = jnp.asarray(np.stack(
-            [packed.cuckoo_u[0], packed.cuckoo_v[0], packed.cuckoo_id[0],
-             packed.cuckoo_safe[0]], axis=1))
-        rows1 = jnp.asarray(np.stack(
-            [packed.cuckoo_u[1], packed.cuckoo_v[1], packed.cuckoo_id[1],
-             packed.cuckoo_safe[1]], axis=1))
+        rows_cat = jnp.asarray(np.concatenate([
+            np.stack(
+                [packed.cuckoo_u[t], packed.cuckoo_v[t], packed.cuckoo_id[t],
+                 packed.cuckoo_safe[t]], axis=1)
+            for t in (0, 1)
+        ], axis=0))
         del zeros
-        _CACHE[enc_name] = (d, ranks, packed, rows0, rows1)
+        _CACHE[enc_name] = (d, ranks, packed, rows_cat, None)
     return _CACHE[enc_name]
 
 
 def run_bucket(enc_name, pieces, lanes):
     """Merge `pieces` (all <= lanes bytes) through merge_bucket_exact."""
-    d, ranks, packed, rows0, rows1 = setup(enc_name)
+    d, ranks, packed, rows_cat, _ = setup(enc_name)
     cap = max(128, 1 << (len(pieces) - 1).bit_length())
     buf = np.frombuffer(b"".join(pieces), dtype=np.uint8)
     starts = np.zeros(len(pieces), dtype=np.int32)
@@ -58,7 +59,7 @@ def run_bucket(enc_name, pieces, lanes):
         lambda b, s, l, ms: merge_exact.merge_bucket_exact(
             b, s, l, ms, jnp.int32(0), jnp.int32(len(pieces)),
             jnp.asarray(packed.byte_to_id), jnp.asarray(packed.byte_pair_seed),
-            rows0, rows1, packed.table_mask,
+            rows_cat, packed.table_mask,
             lanes=lanes, cap=cap,
         )
     )
@@ -160,8 +161,9 @@ def test_pair_lookup_cat_equivalence(enc_name):
     cuckoo lookup on random id pairs (hits and misses)."""
     from jtokkit_tpu.ops import merge as merge_ops
 
-    _d, _ranks, packed, rows0, rows1 = setup(enc_name)
-    rows_cat = jnp.concatenate([rows0, rows1], axis=0)
+    _d, _ranks, packed, rows_cat, _ = setup(enc_name)
+    T = packed.table_mask + 1
+    rows0, rows1 = rows_cat[:T], rows_cat[T:]
     rng = np.random.default_rng(7)
     n = packed.n_tokens
     # half random (nearly all misses), half real table entries (hits)
@@ -176,3 +178,31 @@ def test_pair_lookup_cat_equivalence(enc_name):
     b = merge_ops.pair_lookup_cat(u, v, rows_cat, packed.table_mask)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int((np.asarray(a) >= 0).sum()) >= len(live) > 0
+
+
+def test_engine_wide_routing_parity(monkeypatch):
+    """Full device engine with the wide hybrid enabled (lanes >= 64) must
+    reproduce the oracle on long-piece CJK/punctuation documents, across
+    cold, steady (mapped count), and encode passes."""
+    monkeypatch.setenv("JTOKKIT_TPU_WIDE_MIN", "64")
+    from jtokkit_tpu.engine.device import DeviceEngine
+    from jtokkit_tpu.engine.oracle import OracleEngine
+
+    d, ranks, _p, _rc, _ = setup("cl100k_base")
+    orc = OracleEngine(d.name, d.pattern, ranks, d.special_tokens)
+    eng = DeviceEngine.from_oracle(orc)
+    assert eng._wide_min_lanes == 64
+    docs = [
+        "今日はよい天気です"
+        "東京都港区" * 12,        # long CJK letter run
+        "." * 200 + "!" * 90,                          # punctuation runs
+        "mixed 短い run with spaces and 漢字" * 6,
+        "plain english words stay on the narrow engine.",
+    ]
+    want = [orc.encode_ordinary(t)[0] for t in docs]
+    got = eng.encode_ordinary_batch(docs)
+    assert got == want
+    plan = eng.preload_corpus(docs)
+    total = eng.count_tokens_corpus(docs, plan=plan)
+    assert total == sum(len(t) for t in want)
+    assert eng.count_tokens_corpus(None, plan=plan) == total  # mapped pass
