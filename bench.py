@@ -16,7 +16,7 @@ Contract hardening (the round-4 artifact was lost to a timeout): the
 headline JSON line prints and flushes IMMEDIATELY after the headline
 measurement, before any companion runs. Companions (other encodings, CJK,
 count-only, sharded) then run inside a hard wall-clock budget
-(JTOKKIT_BENCH_BUDGET seconds from process start, default 600); whatever
+(JTOKKIT_BENCH_BUDGET seconds from process start, default 900); whatever
 finished is attached as detail.companions and the augmented headline is
 re-printed as the final line. A timeout at ANY point still leaves a
 parseable headline on stdout. --fast skips companions entirely.
@@ -78,7 +78,7 @@ def main():
     p.add_argument("--fast", action="store_true",
                    help="headline only: skip the companion sweep")
     p.add_argument("--budget", type=float,
-                   default=float(os.environ.get("JTOKKIT_BENCH_BUDGET", 600)),
+                   default=float(os.environ.get("JTOKKIT_BENCH_BUDGET", 900)),
                    help="wall-clock budget (s, from process start) for the "
                         "companion sweep; companions that would start past "
                         "it are skipped")
